@@ -1,0 +1,24 @@
+"""ssp — Semantic SuperPoint, TPU-native.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+Gabriel-SGama/Semantic-SuperPoint (PyTorch): self-supervised keypoint
+detection + description with an optional semantic-segmentation head,
+trained with Kendall multi-task uncertainty weighting.
+
+Design principles (TPU-first, not a port):
+  * NHWC layout everywhere; bfloat16 matmul path; static shapes.
+  * Keypoints are fixed-K ``(score, x, y)`` arrays with validity masks —
+    never ragged lists.
+  * Augmentation, homography sampling/warping, label construction, and
+    the full homography-adaptation export run inside single jitted
+    programs driven by JAX PRNG keys.
+  * Scaling via ``jax.sharding.Mesh`` + ``NamedSharding`` (data-parallel
+    over ICI), not host-side DataParallel.
+
+The public config-driven API (YAML schema, dataset/model/agent names)
+mirrors the reference so its users can switch over; see ``ssp.registry``.
+"""
+
+__version__ = "0.1.0"
+
+from ssp import registry  # noqa: F401

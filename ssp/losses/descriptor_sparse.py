@@ -1,0 +1,152 @@
+"""Sparse descriptor loss: fixed-size match / non-match sampling.
+
+Spec: reference ``descriptor_loss_sparse`` + helpers
+(``utils/loss_functions/sparse_loss.py:65-284``,
+``utils/loss_functions/pixelwise_contrastive_loss.py:140-265``,
+``utils/correspondence_tools/correspondence_finder.py:191-323``):
+
+  * warp all Hc×Wc cell coordinates by the pair homography (conjugated
+    into cell units), round, keep in-bounds ones;
+  * sample ``num_matching_attempts`` (1000) matches; match loss is a
+    cosine hinge ``mean(max(0, 1 − d·d′))`` with descriptors bilinearly
+    sampled at the (normalized) match coordinates (method "2d");
+  * sample ``num_masked_non_matches_per_match`` (100) random pixels per
+    match, perturb any that collide with the true match, wrap at the
+    borders; non-match loss is ``sum(max(0, d·d′ − 0.2)) /
+    (num_hard_negatives + 1)`` with 1-d indexed descriptors;
+  * total = λ_d · match + non_match; batch = mean over samples.
+
+TPU-first: the reference loops Python over the batch and mixes CPU/GPU
+(``sparse_loss.py:267-284``); here one sample is a pure function and the
+batch is a single ``vmap`` — fixed 1000×100 shapes, fully on device.
+Selection-with-replacement among valid matches replaces the host
+permutation+pad (``crop_or_pad_choice``); acceptance is metric parity.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ssp.core.homography import scale_homography, warp_points
+from ssp.core.warp import bilinear_sample
+
+
+def _sample_valid_indices(key: jax.Array, valid: jnp.ndarray, n: int) -> jnp.ndarray:
+    """n indices drawn uniformly (with replacement) from the valid set."""
+    logits = jnp.where(valid, 0.0, -1e9)
+    return jax.random.categorical(key, logits, shape=(n,))
+
+
+def descriptor_loss_sparse(
+    key: jax.Array,
+    desc: jnp.ndarray,
+    desc_warped: jnp.ndarray,
+    H_pair: jnp.ndarray,
+    num_matching_attempts: int = 1000,
+    num_masked_non_matches_per_match: int = 100,
+    lamda_d: float = 1.0,
+    margin_pos: float = 1.0,
+    margin_neg: float = 0.2,
+    method: str = "2d",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One sample.  desc/desc_warped: [Hc, Wc, D]; H_pair: [3, 3]
+    normalized homography (image1 → image2).  Returns
+    (total, match_loss, non_match_loss)."""
+    Hc, Wc, D = desc.shape
+    k_choice, k_nm, k_perturb_sel, k_perturb_mag = jax.random.split(key, 4)
+
+    # all cell coords (x, y) in cell units
+    vy, vx = jnp.meshgrid(jnp.arange(Hc), jnp.arange(Wc), indexing="ij")
+    uv_a = jnp.stack([vx, vy], axis=-1).reshape(-1, 2).astype(jnp.float32)
+
+    H_cells = scale_homography(H_pair, (Hc, Wc))
+    uv_b = jnp.round(warp_points(uv_a, H_cells))
+    valid = (
+        (uv_b[:, 0] >= 0) & (uv_b[:, 0] <= Wc - 1)
+        & (uv_b[:, 1] >= 0) & (uv_b[:, 1] <= Hc - 1)
+    )
+
+    choice = _sample_valid_indices(k_choice, valid, num_matching_attempts)
+    m_a = uv_a[choice]  # [M, 2]
+    m_b = uv_b[choice]
+
+    # ---- match loss.  method "2d": bilinear descriptor lookup at the
+    # normalized coords, grid_sample(align_corners=True) convention:
+    # pixel = (norm + 1) · (S-1)/2 with norm = uv/S·2 − 1  ⇒  uv·(S-1)/S.
+    # method "1d": exact integer-cell lookup (reference's default path).
+    if method == "2d":
+        def desc_at(dmap, uv):
+            scale = jnp.array([(Wc - 1) / Wc, (Hc - 1) / Hc])
+            return bilinear_sample(dmap, uv * scale)
+    else:
+        def desc_at(dmap, uv):
+            ix = jnp.clip(uv[:, 0].astype(jnp.int32), 0, Wc - 1)
+            iy = jnp.clip(uv[:, 1].astype(jnp.int32), 0, Hc - 1)
+            return dmap.reshape(-1, dmap.shape[-1])[iy * Wc + ix]
+
+    da = desc_at(desc, m_a)  # [M, D]
+    db = desc_at(desc_warped, m_b)
+    match_loss = jnp.mean(jnp.maximum(margin_pos - jnp.sum(da * db, -1), 0.0))
+
+    # ---- non-matches: random pixels in image b, perturbed off collisions
+    M, N = num_matching_attempts, num_masked_non_matches_per_match
+    rand_flat = jax.random.randint(k_nm, (M * N,), 0, Hc * Wc)
+    nm_u = (rand_flat % Wc).astype(jnp.float32).reshape(M, N)
+    nm_v = (rand_flat // Wc).astype(jnp.float32).reshape(M, N)
+
+    du = jnp.abs(m_b[:, 0:1] - nm_u)
+    dv = jnp.abs(m_b[:, 1:2] - nm_v)
+    too_close = ((du < 1.0) | (dv < 1.0)).reshape(-1)
+
+    sign = jnp.floor(jax.random.uniform(k_perturb_sel, (M * N,)) * 2.0) - 0.5
+    noise = jax.random.normal(k_perturb_mag, (M * N,)) * 10.0 + sign
+    perturb = jnp.where(too_close, noise, 0.0).reshape(M, N)
+
+    def wrap(x, upper):
+        x = jnp.where(x > upper, x - upper, x)
+        return jnp.where(x < 0.0, x + upper, x)
+
+    nm_u = wrap(nm_u + perturb, float(Wc - 1))
+    nm_v = wrap(nm_v + perturb, float(Hc - 1))
+
+    # 1-d indexed descriptor lookups (reference non-match path is "1d")
+    flat_b = desc_warped.reshape(-1, D)
+    flat_a = desc.reshape(-1, D)
+    idx_b = (
+        jnp.clip(nm_u.astype(jnp.int32), 0, Wc - 1)
+        + jnp.clip(nm_v.astype(jnp.int32), 0, Hc - 1) * Wc
+    )  # [M, N]
+    idx_a = (
+        m_a[:, 0].astype(jnp.int32) + m_a[:, 1].astype(jnp.int32) * Wc
+    )[:, None]  # [M, 1] broadcast over N
+
+    d_nm_b = flat_b[idx_b]                     # [M, N, D]
+    d_nm_a = flat_a[jnp.broadcast_to(idx_a, (M, N))]
+    nm_dot = jnp.sum(d_nm_a * d_nm_b, axis=-1)
+    nm_hinge = jnp.maximum(nm_dot - margin_neg, 0.0)
+    num_hard = jnp.sum(nm_hinge > 0.0)
+    non_match_loss = jnp.sum(nm_hinge) / (num_hard + 1.0)
+
+    total = lamda_d * match_loss + non_match_loss
+    return total, match_loss, non_match_loss
+
+
+def batch_descriptor_loss_sparse(
+    key: jax.Array,
+    desc: jnp.ndarray,
+    desc_warped: jnp.ndarray,
+    H_pair: jnp.ndarray,
+    **params,
+) -> Tuple[jnp.ndarray, None, jnp.ndarray, jnp.ndarray]:
+    """Batched: desc [B, Hc, Wc, D].  Returns (mean_loss, None,
+    mean_match, mean_non_match) — the reference's return contract
+    (``sparse_loss.py:267-284``)."""
+    B = desc.shape[0]
+    keys = jax.random.split(key, B)
+    total, m, nm = jax.vmap(
+        lambda k, d1, d2, h: descriptor_loss_sparse(k, d1, d2, h, **params)
+    )(keys, desc, desc_warped, H_pair)
+    return jnp.mean(total), None, jnp.mean(m), jnp.mean(nm)

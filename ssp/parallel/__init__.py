@@ -1,0 +1,8 @@
+"""Device-mesh utilities: data-parallel SPMD over ICI."""
+
+from ssp.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicate_sharding,
+    shard_batch,
+)

@@ -1,0 +1,43 @@
+"""Mesh construction + sharding helpers.
+
+The reference has no distributed backend at all (SURVEY.md §2.7): its
+only parallelism is single-process ``nn.DataParallel`` during export and
+gradient accumulation during training.  The TPU-native replacement is a
+1-D data mesh: batches are sharded over the ``data`` axis, parameters
+are replicated, and pjit inserts the gradient all-reduce over ICI.  The
+same mesh shards the homography-adaptation warp stack at export time.
+
+Multi-host pods: call ``jax.distributed.initialize()`` before
+``make_mesh`` and the same code spans hosts over DCN (data-parallel
+only, matching the reference's semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """device_put a pytree of [B, ...] arrays, B sharded over the mesh."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

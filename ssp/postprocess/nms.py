@@ -1,0 +1,55 @@
+"""Grid non-maximum suppression on TPU.
+
+The reference NMS (``utils/utils.py:653-712``, MagicLeap's ``nms_fast``)
+is an inherently sequential greedy sweep over confidence-sorted points —
+hostile to any SIMD hardware.  We use iterated local-max suppression
+instead: a point survives if it is the maximum of its (2r+1)² window, or
+becomes one after all suppressed neighbours of stronger survivors are
+zeroed.  Two or three rounds reproduce greedy box-NMS semantics for
+everything but pathological score ties; the reference itself ships this
+relaxation as its ``box_nms`` alternative (``utils/utils.py:612-650``).
+Acceptance is metric parity (repeatability/matching score), not
+bit-parity — see SURVEY.md §7 "Hard parts".
+
+Implementation: ``lax.reduce_window`` max-pools, fully fused by XLA; no
+sorting, no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _maxpool_same(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Window max over (2r+1)² with SAME padding; x is [..., H, W]."""
+    k = 2 * radius + 1
+    return lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1,) * (x.ndim - 2) + (k, k),
+        window_strides=(1,) * x.ndim,
+        padding="SAME",
+    )
+
+
+@partial(jax.jit, static_argnames=("radius", "iterations"))
+def simple_nms(scores: jnp.ndarray, radius: int, iterations: int = 3) -> jnp.ndarray:
+    """Iterative local-max NMS.
+
+    scores: [..., H, W] non-negative heatmap.  Returns the heatmap with
+    non-maxima zeroed (same contract as the reference's ``box_nms``
+    output map).
+    """
+    zeros = jnp.zeros_like(scores)
+    max_mask = scores == _maxpool_same(scores, radius)
+    for _ in range(iterations - 1):
+        supp_mask = _maxpool_same(max_mask.astype(scores.dtype), radius) > 0
+        supp_scores = jnp.where(supp_mask, zeros, scores)
+        new_max_mask = supp_scores == _maxpool_same(supp_scores, radius)
+        max_mask = max_mask | (new_max_mask & ~supp_mask)
+    return jnp.where(max_mask, scores, zeros)

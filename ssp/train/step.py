@@ -1,0 +1,182 @@
+"""The jitted training / validation step.
+
+Functional re-design of the reference's ``train_val_sample``
+(``Train_model_heatmap_all.py:195-572``): two forwards (original +
+warped image), detector BCE on both, descriptor loss across the pair,
+optional semantic CE on both, Kendall multi-task combination, one Adam
+update.  Everything — label-cell construction, mask reduction, losses,
+the optimizer — is one XLA program; per-step host work is zero.
+
+Sharding: the step is jit-ed with batch inputs sharded over the mesh's
+``data`` axis and state replicated; the gradient all-reduce is inserted
+by the partitioner (ICI), replacing the reference's absent NCCL.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ssp.core.grid import labels_to_cells, space_to_depth
+from ssp.losses import (
+    descriptor_loss_dense,
+    detector_loss,
+    multi_task_loss,
+    semantic_loss,
+)
+from ssp.losses.descriptor_sparse import batch_descriptor_loss_sparse
+from ssp.train.state import TrainState
+
+
+def cell_valid_mask(mask_2d: jnp.ndarray) -> jnp.ndarray:
+    """Pixel mask [B, H, W] → cell mask [B, Hc, Wc] (cell valid iff all
+    its 64 pixels are valid) — reference ``getMasks``
+    (``Train_model_frontend_all.py:373-386``)."""
+    cells = space_to_depth(mask_2d[..., None])
+    return jnp.prod(cells, axis=-1)
+
+
+def compute_losses(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    params: Any,
+    etas: jnp.ndarray,
+    *,
+    train: bool,
+    semantic: bool,
+    warped_pair: bool,
+    det_loss_type: str,
+    desc_loss: str,
+    desc_params: Dict[str, Any],
+    lambda_loss: float,
+    multi_task: bool,
+    ignore_class: int,
+) -> Tuple[jnp.ndarray, Tuple[Any, Dict[str, jnp.ndarray]]]:
+    """Pure loss evaluation; returns (loss, (new_batch_stats, metrics))."""
+    variables = {"params": params, "batch_stats": state.batch_stats}
+
+    def forward(img, stats):
+        v = {"params": params, "batch_stats": stats}
+        if train:
+            out, mut = state.apply_fn(v, img, train=True, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+        return state.apply_fn(v, img, train=False), stats
+
+    out1, stats = forward(batch["image"], state.batch_stats)
+
+    add_dustbin = det_loss_type == "softmax"
+    cells1 = labels_to_cells(batch["labels_2d"], add_dustbin=add_dustbin)
+    cmask1 = cell_valid_mask(batch["valid_mask"])
+    loss_det = detector_loss(out1["semi"], cells1, cmask1, det_loss_type)
+
+    zero = jnp.zeros((), jnp.float32)
+    loss_sem = (
+        semantic_loss(out1["sem"], batch["sem"], ignore_class) if semantic else zero
+    )
+
+    loss_det_warp = zero
+    loss_sem_warp = zero
+    loss_desc = zero
+    pos_term = zero
+    neg_term = zero
+    cmask2 = None
+
+    if warped_pair:
+        out2, stats = forward(batch["warped_image"], stats)
+        cells2 = labels_to_cells(batch["warped_labels_2d"], add_dustbin=add_dustbin)
+        cmask2 = cell_valid_mask(batch["warped_valid_mask"])
+        loss_det_warp = detector_loss(out2["semi"], cells2, cmask2, det_loss_type)
+        if semantic:
+            loss_sem_warp = semantic_loss(out2["sem"], batch["warped_sem"], ignore_class)
+        if lambda_loss > 0:
+            if desc_loss == "dense":
+                loss_desc, _, pos_term, neg_term = descriptor_loss_dense(
+                    out1["desc"], out2["desc"], batch["H_pair"], cmask2, **desc_params
+                )
+            else:
+                loss_desc, _, pos_term, neg_term = batch_descriptor_loss_sparse(
+                    key, out1["desc"], out2["desc"], batch["H_pair"], **desc_params
+                )
+
+    if multi_task:
+        loss = multi_task_loss(
+            etas,
+            loss_det + loss_det_warp,
+            pos_term,
+            neg_term,
+            (loss_sem + loss_sem_warp) if semantic else None,
+        )
+    else:
+        loss = loss_det + loss_det_warp + loss_sem + loss_sem_warp
+        if lambda_loss > 0:
+            loss = loss + lambda_loss * loss_desc
+
+    metrics = {
+        "loss": loss,
+        "loss_det": loss_det,
+        "loss_det_warp": loss_det_warp,
+        "loss_desc": loss_desc,
+        "loss_sem": loss_sem,
+        "loss_sem_warp": loss_sem_warp,
+        "positive_dist": pos_term,
+        "negative_dist": neg_term,
+        "eta_det": etas[0],
+        "eta_desc": etas[1],
+        "eta_sem": etas[2],
+    }
+    return loss, (stats, metrics)
+
+
+def make_train_step(
+    *,
+    semantic: bool,
+    warped_pair: bool,
+    det_loss_type: str = "softmax",
+    desc_loss: str = "sparse",
+    desc_params: Optional[Dict[str, Any]] = None,
+    lambda_loss: float = 1.0,
+    multi_task: bool = True,
+    ignore_class: int = 133,
+    donate: bool = True,
+):
+    """Build the jitted (state, batch, key) → (state, metrics) step."""
+    desc_params = dict(desc_params or {})
+    kwargs = dict(
+        semantic=semantic,
+        warped_pair=warped_pair,
+        det_loss_type=det_loss_type,
+        desc_loss=desc_loss,
+        desc_params=desc_params,
+        lambda_loss=lambda_loss,
+        multi_task=multi_task,
+        ignore_class=ignore_class,
+    )
+
+    def train_step(state: TrainState, batch, key):
+        def loss_fn(trainables):
+            return compute_losses(
+                state, batch, key, trainables["params"], trainables["etas"],
+                train=True, **kwargs,
+            )
+
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            {"params": state.params, "etas": state.etas}
+        )
+        new_state = state.apply_gradients(grads["params"], grads["etas"], new_stats)
+        return new_state, metrics
+
+    def eval_step(state: TrainState, batch, key):
+        _, (_, metrics) = compute_losses(
+            state, batch, key, state.params, state.etas, train=False, **kwargs
+        )
+        return metrics
+
+    donate_args = (0,) if donate else ()
+    return (
+        jax.jit(train_step, donate_argnums=donate_args),
+        jax.jit(eval_step),
+    )

@@ -1,0 +1,165 @@
+"""Loss functions: identity cases, masking, multi-task formula."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssp.core.grid import labels_to_cells
+from ssp.losses import (
+    descriptor_loss_dense,
+    detector_loss,
+    init_etas,
+    multi_task_loss,
+    semantic_loss,
+)
+from ssp.losses.descriptor_sparse import batch_descriptor_loss_sparse
+
+
+class TestDetectorLoss:
+    def _labels(self, B=2, H=32, W=32, n=5, seed=0):
+        rng = np.random.default_rng(seed)
+        lab = np.zeros((B, H, W, 1), np.float32)
+        for b in range(B):
+            ys, xs = rng.integers(0, H, n), rng.integers(0, W, n)
+            lab[b, ys, xs, 0] = 1.0
+        return jnp.asarray(lab)
+
+    def test_perfect_prediction_low_loss(self):
+        labels = self._labels()
+        cells = labels_to_cells(labels)
+        logits = jnp.log(cells + 1e-9) * 5.0  # sharply correct
+        mask = jnp.ones(cells.shape[:3])
+        good = detector_loss(logits, cells, mask)
+        bad = detector_loss(jnp.zeros_like(logits), cells, mask)
+        assert float(good) < float(bad)
+
+    def test_mask_zeroes_regions(self):
+        labels = self._labels()
+        cells = labels_to_cells(labels)
+        logits = jnp.asarray(np.random.default_rng(1).normal(size=cells.shape), jnp.float32)
+        full = detector_loss(logits, cells, jnp.ones(cells.shape[:3]))
+        none = detector_loss(logits, cells, jnp.zeros(cells.shape[:3]))
+        assert float(none) == pytest.approx(0.0, abs=1e-5)
+        assert float(full) > 0
+
+
+class TestSemanticLoss:
+    def test_ignore_class(self):
+        logits = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 8, 4)), jnp.float32)
+        labels = jnp.full((1, 8, 8), 4)  # everything ignored (C=4 is ignore)
+        assert float(semantic_loss(logits, labels, ignore_class=4)) == pytest.approx(0.0)
+
+    def test_correct_prediction(self):
+        labels = jnp.asarray(np.random.default_rng(1).integers(0, 4, (1, 8, 8)))
+        logits = jax.nn.one_hot(labels, 4) * 20.0
+        assert float(semantic_loss(logits, labels, ignore_class=4)) < 1e-3
+
+
+class TestDenseDescriptorLoss:
+    def test_identity_homography_identical_descs(self):
+        rng = np.random.default_rng(0)
+        d = rng.normal(size=(1, 4, 5, 16)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d = jnp.asarray(d)
+        H = jnp.eye(3)[None]
+        mask = jnp.ones((1, 4, 5))
+        loss, corr, pos, neg = descriptor_loss_dense(d, d, H, mask, lambda_d=1.0)
+        # identical descriptors + identity warp: positive pairs have dot=1
+        # → pos hinge = 0; the diagonal of corr must be 1
+        corr = np.asarray(corr)
+        assert corr.reshape(1, 20, 20)[0].diagonal().min() == 1.0
+        assert float(pos) == pytest.approx(0.0, abs=1e-5)
+
+    def test_orthogonal_descs_penalized_on_positives(self):
+        # desc2 orthogonal to desc1 at matching cells → pos loss > 0
+        d1 = np.zeros((1, 2, 2, 4), np.float32)
+        d2 = np.zeros((1, 2, 2, 4), np.float32)
+        d1[..., 0] = 1.0
+        d2[..., 1] = 1.0
+        loss, _, pos, neg = descriptor_loss_dense(
+            jnp.asarray(d1), jnp.asarray(d2), jnp.eye(3)[None], jnp.ones((1, 2, 2)),
+            lambda_d=1.0,
+        )
+        assert float(pos) > 0
+        assert float(neg) == pytest.approx(0.0, abs=1e-6)
+
+
+class TestSparseDescriptorLoss:
+    def test_identity_match_loss_zero(self):
+        rng = np.random.default_rng(0)
+        d = rng.normal(size=(2, 8, 10, 16)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d = jnp.asarray(d)
+        H = jnp.tile(jnp.eye(3), (2, 1, 1))
+        total, _, match, nonmatch = batch_descriptor_loss_sparse(
+            jax.random.key(0), d, d, H,
+            num_matching_attempts=200, num_masked_non_matches_per_match=10,
+            method="1d",
+        )
+        # same descriptor map + identity homography → match dot = 1 → loss 0
+        # (the reference ships this exact self-consistency check,
+        #  sparse_loss.py:287-345; its default "1d" exact-index path)
+        assert float(match) == pytest.approx(0.0, abs=1e-4)
+        assert np.isfinite(float(total))
+
+    def test_identity_2d_small(self):
+        # bilinear ("2d") sampling interpolates unit vectors, so even the
+        # identity case keeps a small positive hinge — must be < random
+        rng = np.random.default_rng(2)
+        d = rng.normal(size=(1, 8, 10, 64)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d = jnp.asarray(d)
+        H = jnp.eye(3)[None]
+        _, _, match_same, _ = batch_descriptor_loss_sparse(
+            jax.random.key(0), d, d, H,
+            num_matching_attempts=200, num_masked_non_matches_per_match=5,
+        )
+        d2 = jnp.asarray(
+            rng.normal(size=(1, 8, 10, 64)).astype(np.float32)
+        )
+        d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+        _, _, match_rand, _ = batch_descriptor_loss_sparse(
+            jax.random.key(0), d, d2, H,
+            num_matching_attempts=200, num_masked_non_matches_per_match=5,
+        )
+        assert float(match_same) < float(match_rand)
+
+    def test_shapes_and_finiteness_random(self):
+        rng = np.random.default_rng(1)
+        d1 = rng.normal(size=(1, 8, 10, 16)).astype(np.float32)
+        d2 = rng.normal(size=(1, 8, 10, 16)).astype(np.float32)
+        for d in (d1, d2):
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        H = jnp.eye(3)[None]
+        total, _, m, nm = batch_descriptor_loss_sparse(
+            jax.random.key(1), jnp.asarray(d1), jnp.asarray(d2), H,
+            num_matching_attempts=100, num_masked_non_matches_per_match=5,
+        )
+        for v in (total, m, nm):
+            assert np.isfinite(float(v))
+
+
+class TestMultiTaskLoss:
+    def test_formula(self):
+        etas = init_etas()
+        det, pos, neg, sem = 2.0, 0.5, 0.3, 1.5
+        got = float(multi_task_loss(etas, det, pos, neg, sem))
+        e = np.array([1.0, 2.0, 1.0])
+        want = (
+            det * np.exp(-e[0]) + e[0]
+            + 0.5 * (pos + neg) * np.exp(-e[1]) + 0.5 * e[1]
+            + sem * np.exp(-e[2]) + e[2]
+        )
+        assert got == pytest.approx(want, rel=1e-6)
+
+    def test_no_semantic_branch(self):
+        etas = init_etas()
+        got = float(multi_task_loss(etas, 1.0, 0.1, 0.1))
+        e = np.array([1.0, 2.0, 1.0])
+        want = np.exp(-e[0]) + e[0] + 0.5 * 0.2 * np.exp(-e[1]) + 0.5 * e[1]
+        assert got == pytest.approx(want, rel=1e-6)
+
+    def test_gradient_flows_to_etas(self):
+        g = jax.grad(lambda e: multi_task_loss(e, 1.0, 0.1, 0.1, 0.5))(init_etas())
+        assert np.abs(np.asarray(g)).min() > 0
