@@ -22,3 +22,9 @@ mirrors the reference so its users can switch over; see ``ssp.registry``.
 __version__ = "0.1.0"
 
 from ssp import registry  # noqa: F401
+
+# Populate the registries (import side effects register the names the
+# reference's configs use: datasets, models, agents).
+from ssp import models as _models  # noqa: F401, E402
+from ssp.data import synthetic_dataset as _synth  # noqa: F401, E402
+from ssp.train import trainer as _trainer  # noqa: F401, E402

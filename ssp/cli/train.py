@@ -1,0 +1,62 @@
+"""Training CLI — mirror of the reference's ``train4.py``.
+
+Usage:
+  python -m ssp.cli.train train_joint configs/magicpoint_shapes_pair.yaml my_exp
+  python -m ssp.cli.train train_base  <config> <exper_name> [--debug]
+
+``train_base`` and ``train_joint`` are intentionally the same code path
+(as in the reference, ``train4.py:43-44``); the config decides whether
+a descriptor/semantic head trains.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+from ssp import registry
+from ssp.utils.config import load_config
+from ssp.utils.experiment import ExperimentPaths
+
+
+def make_dataset(config: dict, task: str):
+    data_cfg = dict(config["data"])
+    name = data_cfg.pop("dataset")
+    cls = registry.get("dataset", name)
+    return cls(task=task, **data_cfg)
+
+
+def train_joint(config: dict, exper_name: str, debug: bool = False) -> None:
+    exper = ExperimentPaths(exper_name)
+    agent_cls = registry.get("agent", config["front_end_model"])
+    agent = agent_cls(config, save_path=exper, exper_name=exper_name)
+
+    train_set = make_dataset(config, "train")
+    val_set = make_dataset(config, "val")
+    bs = int(config["model"].get("real_batch_size", config["model"]["batch_size"]))
+    seed = int(config.get("seed", 0))
+    agent.train_loader = train_set.batches(bs, shuffle=True, seed=seed)
+    agent.val_loader = val_set.batches(
+        int(config["model"].get("eval_batch_size", bs)), shuffle=False, seed=seed
+    )
+    if debug:
+        agent.max_iter = min(agent.max_iter, 10)
+    agent.train()
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    ap = argparse.ArgumentParser(description="ssp training")
+    sub = ap.add_subparsers(dest="command", required=True)
+    for cmd in ("train_base", "train_joint"):
+        p = sub.add_parser(cmd)
+        p.add_argument("config")
+        p.add_argument("exper_name")
+        p.add_argument("--debug", action="store_true")
+    args = ap.parse_args()
+    config = load_config(args.config)
+    train_joint(config, args.exper_name, debug=args.debug)
+
+
+if __name__ == "__main__":
+    main()

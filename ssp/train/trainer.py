@@ -1,0 +1,290 @@
+"""Training agent: orchestration around the jitted step.
+
+Functional replacement for the reference's agent classes
+(``Train_model_frontend_all.py`` / ``Train_model_heatmap_all.py``):
+config merge, interval scaling for gradient accumulation, the
+iteration-based train loop with interleaved validation, periodic
+checkpointing, metric logging, Ctrl-C checkpoint rescue
+(``train4.py:96-102``).
+
+Registry names ``Train_model_heatmap``, ``Train_model_heatmap_all``,
+``Train_model_frontend``, ``Train_model_frontend_all`` all map here —
+the reference splits base/subclass and ships stale config names
+(``configs/magicpoint_shapes_pair.yaml:65`` vs the actual class); one
+agent with aliases removes that landmine.
+
+Batch-size semantics: the reference "mimics" ``real_batch_size`` by
+gradient accumulation over ``r = real/batch`` micro-batches and scales
+every interval by ``r`` (``Train_model_heatmap_all.py:94-112``).  Here
+the device mesh makes the *real* batch the actual global batch; n_iter
+still counts micro-batches (step advances by ``r``) so configs and
+checkpoint numbering line up with the reference.
+"""
+
+from __future__ import annotations
+
+import logging
+import signal
+import time
+from functools import partial
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssp import registry
+from ssp.data.pipeline import prepare_batch
+from ssp.models import build_model
+from ssp.parallel import make_mesh, shard_batch
+from ssp.registry import register
+from ssp.train.checkpoint import load_checkpoint, save_checkpoint
+from ssp.train.state import create_train_state
+from ssp.train.step import make_train_step
+from ssp.utils.experiment import ExperimentPaths, MetricsLogger
+
+log = logging.getLogger(__name__)
+
+DEFAULT_CONFIG: Dict[str, Any] = {
+    "train_iter": 170000,
+    "save_interval": 2000,
+    "tensorboard_interval": 200,
+    "validation_interval": 1000,
+    "validation_size": 4,
+    "model": {
+        "batch_size": 16,
+        "eval_batch_size": 16,
+        "learning_rate": 0.001,
+        "detector_loss": {"loss_type": "softmax"},
+        "lambda_loss": 1,
+        "multi_task_loss": False,
+        "dense_loss": {"enable": False, "params": {}},
+        "sparse_loss": {"enable": True, "params": {}},
+    },
+    "data": {
+        "semantic": False,
+        "ignore_class": 133,
+        "gaussian_label": {"enable": False, "params": {}},
+        "augmentation": {"photometric": {"enable": False}, "homographic": {"enable": False}},
+        "warped_pair": {"enable": False},
+    },
+}
+
+
+def precision_recall(heatmap: np.ndarray, labels: np.ndarray, thresh: float = 0.015):
+    """Thresholded-heatmap precision/recall vs the binary label map
+    (reference ``batch_precision_recall``,
+    ``Train_model_heatmap_all.py:613-621``)."""
+    pred = (heatmap >= thresh).astype(np.float32)
+    lab = (labels > 0).astype(np.float32)
+    tp = (pred * lab).sum()
+    precision = tp / max(pred.sum(), 1e-6)
+    recall = tp / max(lab.sum(), 1e-6)
+    return float(precision), float(recall)
+
+
+@register(
+    "agent",
+    "Train_model_heatmap",
+    "Train_model_heatmap_all",
+    "Train_model_frontend",
+    "Train_model_frontend_all",
+)
+class TrainAgent:
+    def __init__(
+        self,
+        config: Dict[str, Any],
+        save_path: Optional[ExperimentPaths] = None,
+        exper_name: str = "exp",
+        mesh=None,
+    ):
+        from ssp.utils.config import dict_update
+        import copy
+
+        self.config = dict_update(copy.deepcopy(DEFAULT_CONFIG), config)
+        m = self.config["model"]
+        self.batch_size = int(m["batch_size"])
+        self.real_batch_size = int(m.get("real_batch_size", self.batch_size))
+        self.r = max(self.real_batch_size // self.batch_size, 1)
+        for k in ("train_iter", "validation_interval", "tensorboard_interval", "save_interval"):
+            self.config[k] = int(self.config[k]) * self.r
+
+        self.exper = save_path or ExperimentPaths(exper_name)
+        self.exper.dump_config(self.config)
+        self.mesh = mesh or make_mesh()
+        self.n_iter = 0
+        self.max_iter = self.config["train_iter"]
+
+        self._build()
+        self.train_loader: Optional[Iterator] = None
+        self.val_loader: Optional[Iterator] = None
+
+    # -- construction -------------------------------------------------
+    def _build(self) -> None:
+        m = self.config["model"]
+        data = self.config["data"]
+        model_params = dict(m.get("params") or {})
+        self.model = build_model(m["name"], **model_params)
+        self.semantic = bool(data.get("semantic", False))
+        self.warped_pair = bool(data.get("warped_pair", {}).get("enable", False))
+
+        size = data.get("preprocessing", {}).get("resize", [120, 160])
+        self.input_hw = (int(size[0]), int(size[1]))
+
+        key = jax.random.key(int(self.config.get("seed", 0)))
+        self.state = create_train_state(
+            self.model,
+            key,
+            (1, *self.input_hw, 1),
+            learning_rate=float(m["learning_rate"]),
+            max_steps=max(self.max_iter // self.r, 1),
+        )
+
+        if m.get("dense_loss", {}).get("enable"):
+            desc_loss, desc_params = "dense", dict(m["dense_loss"].get("params") or {})
+            desc_params = {
+                "lambda_d": desc_params.get("lambda_d", 250),
+                "descriptor_dist": desc_params.get("descriptor_dist", 4),
+            }
+        else:
+            p = dict(m.get("sparse_loss", {}).get("params") or {})
+            desc_loss = "sparse"
+            desc_params = {
+                "num_matching_attempts": int(p.get("num_matching_attempts", 1000)),
+                "num_masked_non_matches_per_match": int(
+                    p.get("num_masked_non_matches_per_match", 100)
+                ),
+                "lamda_d": float(p.get("lamda_d", 1.0)),
+                "method": p.get("method", "2d"),
+            }
+
+        self.train_step, self.eval_step = make_train_step(
+            semantic=self.semantic,
+            warped_pair=self.warped_pair,
+            det_loss_type=m.get("detector_loss", {}).get("loss_type", "softmax"),
+            desc_loss=desc_loss,
+            desc_params=desc_params,
+            lambda_loss=float(m.get("lambda_loss", 1)),
+            multi_task=bool(m.get("multi_task_loss", False)),
+            ignore_class=int(data.get("ignore_class", 133)),
+        )
+
+        aug = data.get("augmentation", {})
+        gl = data.get("gaussian_label", {})
+        sigma = None
+        if gl.get("enable"):
+            sigma = float(gl.get("params", {}).get("GaussianBlur", {}).get("sigma", 0.2))
+        self._prep_train = self._make_prepare(
+            photometric=self._photo_cfg(aug.get("photometric", {}), "train"),
+            homographic=aug.get("homographic", {}),
+            warped_pair=data.get("warped_pair", {}),
+            gaussian_label_sigma=sigma,
+            ignore_class=int(data.get("ignore_class", 133)),
+        )
+        self._prep_val = self._make_prepare(
+            photometric=self._photo_cfg(aug.get("photometric", {}), "val"),
+            homographic=self._val_homographic(aug.get("homographic", {})),
+            warped_pair=data.get("warped_pair", {}),
+            gaussian_label_sigma=sigma,
+            ignore_class=int(data.get("ignore_class", 133)),
+        )
+
+        pretrained = self.config.get("pretrained")
+        if pretrained and not self.config.get("retrain", False):
+            mode = "full" if not self.config.get("reset_iter", True) else "weights"
+            log.info("loading pretrained %s (mode=%s)", pretrained, mode)
+            self.state = load_checkpoint(
+                pretrained, self.state, mode=mode,
+                reset_iter=bool(self.config.get("reset_iter", True)),
+            )
+            self.n_iter = int(self.state.step) * self.r
+
+    @staticmethod
+    def _photo_cfg(cfg: Dict[str, Any], split: str) -> Dict[str, Any]:
+        cfg = dict(cfg)
+        enable_key = f"enable_{split}"
+        if enable_key in cfg:
+            cfg["enable"] = bool(cfg.get("enable", False)) and bool(cfg[enable_key])
+        return cfg
+
+    @staticmethod
+    def _val_homographic(cfg: Dict[str, Any]) -> Dict[str, Any]:
+        cfg = dict(cfg)
+        if "enable_val" in cfg:
+            cfg["enable"] = bool(cfg.get("enable", False)) and bool(cfg["enable_val"])
+        return cfg
+
+    def _make_prepare(self, **prep_cfg):
+        has_sem = self.semantic
+
+        def prep(key, host_batch):
+            sem = host_batch.get("sem") if has_sem else None
+            return prepare_batch(
+                key,
+                host_batch["image"],
+                host_batch["points"],
+                host_batch["points_valid"],
+                sem=sem,
+                **prep_cfg,
+            )
+
+        return jax.jit(prep)
+
+    # -- loop ---------------------------------------------------------
+    def train(self) -> None:
+        assert self.train_loader is not None, "set train_loader first"
+        logger = MetricsLogger(self.exper, "train")
+        tb_int = self.config["tensorboard_interval"]
+        val_int = self.config["validation_interval"]
+        save_int = self.config["save_interval"]
+        key = jax.random.key(int(self.config.get("seed", 0)) + 1)
+
+        interrupted = {"flag": False}
+        prev_handler = signal.signal(
+            signal.SIGINT, lambda *_: interrupted.update(flag=True)
+        )
+        t0 = time.time()
+        try:
+            while self.n_iter < self.max_iter and not interrupted["flag"]:
+                host_batch = next(self.train_loader)
+                key, k_prep, k_step = jax.random.split(key, 3)
+                batch = self._prep_train(k_prep, shard_batch(host_batch, self.mesh))
+                self.state, metrics = self.train_step(self.state, batch, k_step)
+
+                if self.n_iter % tb_int == 0:
+                    scal = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    scal["iters_per_s"] = (
+                        tb_int / max(time.time() - t0, 1e-9) if self.n_iter else 0.0
+                    )
+                    t0 = time.time()
+                    logger.log(self.n_iter, scal)
+                    log.info(
+                        "iter %d loss %.4f det %.4f desc %.4f",
+                        self.n_iter, scal["loss"], scal["loss_det"], scal["loss_desc"],
+                    )
+
+                if val_int and self.val_loader is not None and self.n_iter % val_int == 0:
+                    self._validate(key)
+
+                if self.n_iter != 0 and self.n_iter % save_int == 0:
+                    save_checkpoint(self.exper.checkpoints, self.state, self.n_iter)
+
+                self.n_iter += self.r
+        finally:
+            signal.signal(signal.SIGINT, prev_handler)
+            save_checkpoint(self.exper.checkpoints, self.state, self.n_iter)
+            logger.close()
+
+    def _validate(self, key: jax.Array) -> None:
+        logger = MetricsLogger(self.exper, "val")
+        n_batches = int(self.config.get("validation_size", 4)) + 1
+        agg: Dict[str, list] = {}
+        for _ in range(n_batches):
+            host_batch = next(self.val_loader)
+            key, k_prep, k_step = jax.random.split(key, 3)
+            batch = self._prep_val(k_prep, shard_batch(host_batch, self.mesh))
+            metrics = self.eval_step(self.state, batch, k_step)
+            for k, v in jax.device_get(metrics).items():
+                agg.setdefault(k, []).append(float(v))
+        logger.log(self.n_iter, {k: float(np.mean(v)) for k, v in agg.items()}, prefix="val_")
+        logger.close()

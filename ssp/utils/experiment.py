@@ -1,0 +1,73 @@
+"""Experiment directories + metrics logging.
+
+Reference layout (``train4.py:63-66``, ``utils/utils.py:952-961``):
+``EXPER_PATH/<exper_name>/`` holds ``config.yml`` and ``checkpoints/``;
+TensorBoard events go to ``runs/<task>/<exper>_<date>``.  We write
+structured JSONL always (machine-readable, greppable) and TensorBoard
+events too when TensorFlow is importable (it is in this image).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+
+def settings_paths() -> Dict[str, Path]:
+    """DATA_PATH / EXPER_PATH roots (reference ``settings.py:6-9``),
+    overridable by environment."""
+    return {
+        "DATA_PATH": Path(os.environ.get("SSP_DATA_PATH", "datasets")),
+        "EXPER_PATH": Path(os.environ.get("SSP_EXPER_PATH", "logs")),
+    }
+
+
+class ExperimentPaths:
+    def __init__(self, exper_name: str, exper_path: Optional[Path] = None):
+        root = exper_path or settings_paths()["EXPER_PATH"]
+        self.root = Path(root) / exper_name
+        self.checkpoints = self.root / "checkpoints"
+        self.predictions = self.root / "predictions"
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.checkpoints.mkdir(parents=True, exist_ok=True)
+
+    def dump_config(self, config: Dict[str, Any]) -> None:
+        import yaml
+
+        with open(self.root / "config.yml", "w") as f:
+            yaml.safe_dump(config, f)
+
+
+class MetricsLogger:
+    """JSONL + optional TensorBoard scalar logging."""
+
+    def __init__(self, exper: ExperimentPaths, task: str = "train", use_tb: bool = True):
+        self._jsonl = open(exper.root / f"metrics_{task}.jsonl", "a")
+        self._tb = None
+        if use_tb:
+            try:
+                import tensorflow as tf  # noqa: F401
+
+                stamp = _dt.datetime.now().strftime("%m-%d-%H:%M")
+                logdir = Path("runs") / task / f"{exper.root.name}_{stamp}"
+                self._tb = tf.summary.create_file_writer(str(logdir))
+            except Exception:
+                self._tb = None
+
+    def log(self, step: int, scalars: Dict[str, float], prefix: str = "") -> None:
+        rec = {"step": int(step)}
+        rec.update({f"{prefix}{k}": float(v) for k, v in scalars.items()})
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in scalars.items():
+                    tf.summary.scalar(f"{prefix}{k}", float(v), step=int(step))
+
+    def close(self) -> None:
+        self._jsonl.close()
