@@ -1,0 +1,95 @@
+"""Benchmark: detect+describe throughput at 480×640, single chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The measured pipeline is the full inference path a SLAM front-end
+consumes — forward (bf16), heatmap flattening, NMS, top-k keypoint
+extraction, descriptor sampling at keypoints — per BASELINE.md's
+"480×640 images/sec/chip (detect+describe)" metric.
+
+vs_baseline: the reference publishes no throughput numbers
+(SURVEY.md §6).  We use 80 img/s as the assumed PyTorch-reference
+figure for SuperPointNet_gauss2 forward+postproc at 480×640 on its
+CUDA-11.2-era GPU (typical published SuperPoint-VGG rates: 70–90 fps);
+revisit when a measured reference number exists.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ASSUMED_REFERENCE_IMG_PER_S = 80.0
+H, W = 480, 640
+BATCH = 16
+TOP_K = 1000
+
+
+def build_pipeline():
+    from ssp.core.grid import flatten_detection
+    from ssp.models import build_model
+    from ssp.postprocess.nms import simple_nms
+    from ssp.postprocess.points import sample_descriptors
+
+    model = build_model("SuperPointNet_gauss2", dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, H, W, 1), jnp.float32), train=False
+    )
+
+    def detect_describe(images):
+        out = model.apply(variables, images, train=False)
+        heat = flatten_detection(out["semi"])[..., 0]  # [B, H, W]
+        nmsed = simple_nms(heat, radius=4, iterations=3)
+        # border removal + top-k, batched
+        ys, xs = jnp.arange(H), jnp.arange(W)
+        ok = (
+            ((ys >= 4) & (ys < H - 4))[:, None]
+            & ((xs >= 4) & (xs < W - 4))[None, :]
+        )
+        nmsed = jnp.where(ok[None], nmsed, 0.0)
+        scores, idx = jax.lax.top_k(nmsed.reshape(nmsed.shape[0], -1), TOP_K)
+        pts = jnp.stack(
+            [(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32), scores],
+            axis=-1,
+        )
+        desc = jax.vmap(sample_descriptors)(out["desc"], pts)
+        return pts, desc
+
+    return jax.jit(detect_describe)
+
+
+def main():
+    fn = build_pipeline()
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(BATCH, H, W, 1)).astype(np.float32)
+    )
+
+    # warmup / compile
+    pts, desc = fn(images)
+    jax.block_until_ready((pts, desc))
+
+    # timed
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pts, desc = fn(images)
+    jax.block_until_ready((pts, desc))
+    dt = time.perf_counter() - t0
+    img_per_s = BATCH * iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "480x640 images/sec/chip (detect+describe)",
+                "value": round(img_per_s, 2),
+                "unit": "images/s",
+                "vs_baseline": round(img_per_s / ASSUMED_REFERENCE_IMG_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

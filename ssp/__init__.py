@@ -26,5 +26,8 @@ from ssp import registry  # noqa: F401
 # Populate the registries (import side effects register the names the
 # reference's configs use: datasets, models, agents).
 from ssp import models as _models  # noqa: F401, E402
+from ssp.data import coco as _coco  # noqa: F401, E402
+from ssp.data import hpatches as _hpatches  # noqa: F401, E402
+from ssp.data import kitti as _kitti  # noqa: F401, E402
 from ssp.data import synthetic_dataset as _synth  # noqa: F401, E402
 from ssp.train import trainer as _trainer  # noqa: F401, E402

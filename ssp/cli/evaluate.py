@@ -1,0 +1,148 @@
+"""Evaluation CLI — mirror of the reference's ``evaluation.py``.
+
+Usage:
+  python -m ssp.cli.evaluate <predictions_dir> [-r] [-homo]
+
+Reads the exported ``<i>.npz`` pair files, computes repeatability /
+localization error (top-1000, dist 3), homography-estimation
+correctness at ε ∈ [1, 3, 5, 10, 20, 50], matching score, and NN mAP,
+then writes ``result.txt`` + ``result.npz`` into the predictions dir
+(reference ``evaluation.py:86-499``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+from typing import Dict, List
+
+import cv2
+import numpy as np
+
+from ssp.evaluations.detector import compute_repeatability, warp_keypoints_np
+from ssp.evaluations.descriptor import compute_homography
+from ssp.postprocess.tracker import PointTracker
+
+log = logging.getLogger(__name__)
+
+HOMOGRAPHY_THRESH = [1, 3, 5, 10, 20, 50]
+TOP_K = 1000
+REP_THRESH = 3
+MAP_NN_THRESH = 1.2
+
+
+def _unwarp_count(warped_keypoints: np.ndarray, H: np.ndarray, shape_hw) -> int:
+    """#image-2 keypoints whose unwarp lands inside image 1 — the N2'
+    of the matching score (``evaluation.py:194-219``)."""
+    if len(warped_keypoints) == 0:
+        return 0
+    un = warp_keypoints_np(warped_keypoints[:, :2], np.linalg.inv(H))
+    ok = (
+        (un[:, 0] >= 0) & (un[:, 0] <= shape_hw[1] - 1)
+        & (un[:, 1] >= 0) & (un[:, 1] <= shape_hw[0] - 1)
+    )
+    return int(ok.sum())
+
+
+def _nn_map(data: Dict[str, np.ndarray]) -> float:
+    """NN mAP: mutual-NN matches (thresh 1.2) → RANSAC inliers as labels,
+    flipped distances as scores → average precision
+    (``evaluation.py:224-330``)."""
+    from sklearn.metrics import average_precision_score
+
+    kp1, kp2 = data["prob"], data["warped_prob"]
+    d1, d2 = data["desc"], data["warped_desc"]
+    if len(kp1) < 4 or len(kp2) < 4:
+        return 0.0
+    tracker = PointTracker(max_length=2, nn_thresh=MAP_NN_THRESH)
+    tracker.update(kp1.T, d1.T)
+    tracker.update(kp2.T, d2.T)
+    matches = tracker.get_matches()
+    mscores = tracker.get_mscores()
+    if matches is None or matches.shape[1] < 4:
+        return 0.0
+    m = matches.T  # [L, 4]
+    _, inliers = cv2.findHomography(m[:, :2], m[:, 2:4], cv2.RANSAC)
+    if inliers is None:
+        return 0.0
+    inliers = inliers.ravel().astype(bool)
+    if inliers.sum() == 0:
+        return 0.0
+    dist = mscores[2]
+    scores = dist.max() - dist
+    return float(average_precision_score(inliers, scores))
+
+
+def evaluate(path: Path, do_rep: bool = True, do_homo: bool = True) -> Dict[str, float]:
+    files = sorted(
+        (p for p in Path(path).glob("*.npz") if p.stem.isdigit()),
+        key=lambda p: int(p.stem),
+    )
+    if not files:
+        raise FileNotFoundError(f"no numbered .npz predictions under {path}")
+    np.random.seed(0)  # reproducibility hook (evaluation.py:104-108)
+
+    rep: List[float] = []
+    loc: List[float] = []
+    correctness: List[List[float]] = []
+    mscore: List[float] = []
+    maps: List[float] = []
+
+    for f in files:
+        with np.load(f) as z:
+            data = {k: z[k] for k in z.files}
+        shape_hw = data["image"].shape[:2]
+        H = data["homography"]
+        if do_rep:
+            r = compute_repeatability(
+                data["prob"], data["warped_prob"], H, shape_hw,
+                keep_k_points=TOP_K, distance_thresh=REP_THRESH,
+            )
+            rep.append(r["repeatability"])
+            loc.append(r["localization_err"])
+        if do_homo:
+            res = compute_homography(
+                data["prob"], data["desc"], data["warped_prob"], data["warped_desc"],
+                H, shape_hw, correctness_thresh=HOMOGRAPHY_THRESH,
+            )
+            correctness.append(res["correctness"])
+            n2p = _unwarp_count(data["warped_prob"], H, shape_hw)
+            denom = len(data["prob"]) + n2p
+            mscore.append(2.0 * res["inliers"].sum() / denom if denom else 0.0)
+            maps.append(_nn_map(data))
+
+    summary: Dict[str, float] = {"n_files": len(files)}
+    if do_rep:
+        summary["repeatability"] = float(np.mean(rep))
+        summary["localization_err"] = float(np.mean(loc))
+    if do_homo:
+        corr = np.mean(np.array(correctness), axis=0)
+        for eps, c in zip(HOMOGRAPHY_THRESH, corr):
+            summary[f"correctness_{eps}"] = float(c)
+        summary["matching_score"] = float(np.mean(mscore))
+        summary["nn_map"] = float(np.mean(maps))
+
+    with open(Path(path) / "result.txt", "w") as f:
+        for k, v in summary.items():
+            f.write(f"{k}: {v}\n")
+    np.savez(Path(path) / "result.npz", **summary)
+    return summary
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser(description="ssp evaluation")
+    ap.add_argument("path", help="predictions directory of <i>.npz files")
+    ap.add_argument("-r", "--repeatibility", action="store_true")
+    ap.add_argument("-homo", "--homography", action="store_true")
+    args = ap.parse_args()
+    do_rep = args.repeatibility or not args.homography
+    do_homo = args.homography or not args.repeatibility
+    summary = evaluate(Path(args.path), do_rep, do_homo)
+    for k, v in summary.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Data layer: synthetic generation, dataset cache, device pipeline,
+photometric augmentation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ssp.data.photometric import gaussian_blur, photometric_augment
+from ssp.data.pipeline import pad_points, prepare_batch, splat_labels
+from ssp.data.synthetic_dataset import SyntheticShapesDataset
+from ssp.data.synthetic_shapes import PRIMITIVES, generate_sample
+
+
+class TestGenerator:
+    @pytest.mark.parametrize("prim", PRIMITIVES)
+    def test_all_primitives(self, prim):
+        img, pts = generate_sample(prim, size=(60, 80), seed=1)
+        assert img.shape == (60, 80)
+        assert img.dtype == np.float32
+        assert 0.0 <= img.min() and img.max() <= 1.0
+        if prim in ("draw_ellipses", "gaussian_noise"):
+            assert len(pts) == 0
+        if len(pts):
+            assert (pts[:, 0] <= 79).all() and (pts[:, 1] <= 59).all()
+
+    def test_deterministic(self):
+        a = generate_sample("draw_checkerboard", size=(60, 80), seed=7)
+        b = generate_sample("draw_checkerboard", size=(60, 80), seed=7)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+
+class TestSyntheticDataset:
+    def test_cache_and_batches(self, tmp_path):
+        ds = SyntheticShapesDataset(
+            task="train",
+            primitives=["draw_polygon", "draw_star"],
+            generation={"split_sizes": {"training": 6}},
+            cache_dir=tmp_path,
+            preprocessing={"resize": [48, 64]},
+        )
+        assert len(ds) == 12
+        it = ds.batches(4, seed=0)
+        b = next(it)
+        assert b["image"].shape == (4, 48, 64)
+        assert b["points"].shape[0] == 4
+        # cache reuse: second instance loads without regeneration
+        ds2 = SyntheticShapesDataset(
+            task="train",
+            primitives=["draw_polygon", "draw_star"],
+            generation={"split_sizes": {"training": 6}},
+            cache_dir=tmp_path,
+            preprocessing={"resize": [48, 64]},
+        )
+        np.testing.assert_array_equal(ds2._images, ds._images)
+
+
+class TestSplatLabels:
+    def test_points_land(self):
+        pts = jnp.array([[3.4, 5.6], [0.0, 0.0], [100.0, 2.0]])
+        valid = jnp.array([True, True, True])
+        m = np.asarray(splat_labels(pts, valid, (16, 16)))
+        assert m[6, 3] == 1.0 and m[0, 0] == 1.0
+        assert m.sum() == 2.0  # out-of-bounds dropped
+
+    def test_invalid_dropped(self):
+        pts = jnp.array([[3.0, 3.0]])
+        m = np.asarray(splat_labels(pts, jnp.array([False]), (8, 8)))
+        assert m.sum() == 0
+
+
+class TestPhotometric:
+    def test_all_primitives_run_and_bound(self):
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.uniform(0.2, 0.8, (2, 48, 64)).astype(np.float32))
+        out = photometric_augment(jax.random.key(0), imgs)
+        out = np.asarray(out)
+        assert out.shape == imgs.shape
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        assert not np.allclose(out, np.asarray(imgs))
+
+    def test_gaussian_blur_preserves_mass(self):
+        imgs = jnp.zeros((1, 33, 33)).at[0, 16, 16].set(1.0)
+        out = np.asarray(gaussian_blur(imgs, 1.5))
+        assert out.sum() == pytest.approx(1.0, rel=1e-3)
+        assert out[0, 16, 16] < 1.0
+
+
+class TestPrepareBatch:
+    def test_warped_pair_consistency(self):
+        """Points warped by H_pair must land on the warped image's label
+        peaks — the core geometric contract of the pipeline."""
+        from ssp.core.homography import warp_points
+
+        rng = np.random.default_rng(0)
+        B, H, W = 2, 64, 96
+        images = jnp.asarray(rng.uniform(size=(B, H, W)).astype(np.float32))
+        pts = jnp.asarray(rng.uniform(10, 50, (B, 5, 2)).astype(np.float32))
+        valid = jnp.ones((B, 5), bool)
+        batch = prepare_batch(
+            jax.random.key(3), images, pts, valid,
+            warped_pair={"enable": True, "params": {"allow_artifacts": False,
+                                                    "patch_ratio": 0.7}},
+        )
+        # normalized warp of the original points by H_pair
+        scale = jnp.array([(W - 1) / 2.0, (H - 1) / 2.0])
+        pn = pts / scale - 1.0
+        warped_n = jax.vmap(warp_points)(pn, batch["H_pair"])
+        warped_pix = np.asarray((warped_n + 1.0) * scale)
+        wl = np.asarray(batch["warped_labels_2d"][..., 0])
+        for b in range(B):
+            for x, y in warped_pix[b]:
+                if 1 <= x < W - 1 and 1 <= y < H - 1:
+                    yi, xi = int(round(y)), int(round(x))
+                    assert wl[b, max(yi-1,0):yi+2, max(xi-1,0):xi+2].max() == 1.0
+
+    def test_semantic_warp_ignore(self):
+        B, H, W = 1, 32, 32
+        images = jnp.ones((B, H, W)) * 0.5
+        pts = jnp.zeros((B, 1, 2))
+        valid = jnp.zeros((B, 1), bool)
+        sem = jnp.ones((B, H, W), jnp.int32) * 7
+        batch = prepare_batch(
+            jax.random.key(0), images, pts, valid, sem=sem,
+            warped_pair={"enable": True, "params": {"allow_artifacts": True}},
+        )
+        ws = np.asarray(batch["warped_sem"])
+        assert set(np.unique(ws)) <= {7, 133}
+        # out-of-frame regions must be the ignore class exactly where the
+        # valid mask is 0
+        mask = np.asarray(batch["warped_valid_mask"][0])
+        assert (ws[0][mask == 0] == 133).all()

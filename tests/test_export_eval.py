@@ -1,0 +1,115 @@
+"""Integration: HPatches export → evaluation chain, HA export, trainer."""
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ssp.data.hpatches import PatchesDataset
+from ssp.models import build_model
+
+
+def _make_fake_hpatches(root, n_seq=2, hw=(48, 64)):
+    """Synthesize HPatches-style sequences: textured 1.ppm + warped
+    2..3.ppm with known homographies."""
+    rng = np.random.default_rng(0)
+    H_img, W_img = hw
+    for s in range(n_seq):
+        seq = root / (("i_seq" if s % 2 else "v_seq") + str(s))
+        seq.mkdir(parents=True)
+        base = rng.uniform(0, 255, (H_img, W_img)).astype(np.uint8)
+        base = cv2.GaussianBlur(base, (5, 5), 0)
+        # cv2 5.x ppm writer requires 3-channel BGR
+        cv2.imwrite(str(seq / "1.ppm"), cv2.cvtColor(base, cv2.COLOR_GRAY2BGR))
+        for i in (2, 3):
+            H = np.eye(3)
+            H[0, 2] = rng.uniform(-3, 3)
+            H[1, 2] = rng.uniform(-3, 3)
+            warped = cv2.warpPerspective(base, H, (W_img, H_img))
+            cv2.imwrite(
+                str(seq / f"{i}.ppm"), cv2.cvtColor(warped, cv2.COLOR_GRAY2BGR)
+            )
+            np.savetxt(seq / f"H_1_{i}", H)
+
+
+class TestHPatchesChain:
+    def test_export_then_evaluate(self, tmp_path):
+        from ssp.cli.evaluate import evaluate
+        from ssp.export.descriptors_export import (
+            make_detect_describe_fn,
+            run_descriptor_export,
+        )
+
+        data_root = tmp_path / "hp"
+        _make_fake_hpatches(data_root)
+        ds = PatchesDataset(root=data_root, alteration="all")
+        assert len(ds) == 4
+
+        model = build_model("SuperPointNet_gauss2", dtype=jnp.float32)
+        x = jnp.zeros((1, 48, 64, 1))
+        variables = model.init(jax.random.key(0), x, train=False)
+        dd_fn = make_detect_describe_fn(
+            model.apply, variables, top_k=50, conf_thresh=0.0, subpixel=True
+        )
+        out_dir = tmp_path / "pred"
+        n = run_descriptor_export(dd_fn, iter(ds), out_dir)
+        assert n == 4
+
+        with np.load(out_dir / "0.npz") as z:
+            assert set(z.files) >= {
+                "image", "warped_image", "prob", "warped_prob",
+                "desc", "warped_desc", "homography", "matches",
+            }
+            assert z["desc"].shape[1] == 256
+
+        summary = evaluate(out_dir)
+        assert summary["n_files"] == 4
+        assert 0.0 <= summary["repeatability"] <= 1.0
+        assert 0.0 <= summary["nn_map"] <= 1.0
+        assert (out_dir / "result.txt").exists()
+
+    def test_alteration_filter(self, tmp_path):
+        data_root = tmp_path / "hp"
+        _make_fake_hpatches(data_root)
+        ds_i = PatchesDataset(root=data_root, alteration="i")
+        ds_v = PatchesDataset(root=data_root, alteration="v")
+        assert len(ds_i) + len(ds_v) == 4
+        assert all(p["name"].startswith("i_") for p in ds_i.pairs)
+
+
+class TestHAExport:
+    def test_ha_identity_dominates(self, tmp_path):
+        """With a trained-ish detector the HA aggregate should keep the
+        strong response; with an untrained net we just require valid
+        output + resume semantics (full behavior covered in e2e)."""
+        from ssp.export.homography_adaptation import make_ha_fn, run_ha_export
+
+        model = build_model("SuperPointNet_gauss2", dtype=jnp.float32)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 48, 64, 1)), train=False)
+        ha = make_ha_fn(model.apply, variables, num_h=4, top_k=20, conf_thresh=0.0)
+        rng = np.random.default_rng(0)
+        img = rng.uniform(size=(48, 64)).astype(np.float32)
+        n = run_ha_export(ha, [("a", img), ("b", img)], tmp_path / "out", group=2)
+        assert n == 2
+        with np.load(tmp_path / "out" / "a.npz") as z:
+            assert z["pts"].shape[1] == 3
+        # resume skips
+        assert run_ha_export(ha, [("a", img)], tmp_path / "out") == 0
+
+
+class TestRepeatabilityProtocol:
+    def test_translation_case(self):
+        from ssp.evaluations import compute_repeatability
+
+        rng = np.random.default_rng(1)
+        pts1 = np.concatenate(
+            [rng.uniform(10, 40, (30, 2)), rng.uniform(0.5, 1.0, (30, 1))], axis=1
+        )
+        H = np.eye(3)
+        H[0, 2] = 5.0  # pure translation
+        pts2 = pts1.copy()
+        pts2[:, 0] += 5.0
+        r = compute_repeatability(pts1, pts2, H, (64, 64))
+        assert r["repeatability"] == 1.0
+        assert r["localization_err"] == pytest.approx(0.0, abs=1e-5)
