@@ -31,3 +31,4 @@ from ssp.data import hpatches as _hpatches  # noqa: F401, E402
 from ssp.data import kitti as _kitti  # noqa: F401, E402
 from ssp.data import synthetic_dataset as _synth  # noqa: F401, E402
 from ssp.train import trainer as _trainer  # noqa: F401, E402
+from ssp.train import val_agent as _val_agent  # noqa: F401, E402

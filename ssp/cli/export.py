@@ -60,6 +60,7 @@ def export_detector_homoAdapt(config: dict, exper_name: str) -> None:
         num_h=int(ha_cfg.get("num", 100)),
         homography_params=ha_cfg.get("homographies", {}).get("params"),
         aggregation=ha_cfg.get("aggregation", "sum"),
+        filter_counts=int(ha_cfg.get("filter_counts", 0)),
         top_k=int(m.get("top_k", 600)),
         conf_thresh=float(m.get("detection_threshold", 0.015)),
         nms_radius=int(m.get("nms", 4)),
@@ -107,11 +108,53 @@ def export_descriptor(config: dict, exper_name: str) -> None:
     log.info("exported %d pairs to %s", n, out_dir)
 
 
+def export_sequence(config: dict, exper_name: str) -> None:
+    """Per-frame keypoints + descriptors for a SLAM front-end (the
+    reference feeds KITTI/TUM sequences to Semantic_ORB_SLAM2,
+    README.md:26-29, via its exported model)."""
+    import numpy as np
+
+    from ssp.export.descriptors_export import make_detect_describe_fn
+
+    data_cfg = dict(config["data"])
+    name = data_cfg.pop("dataset")
+    split = data_cfg.pop("export_folder", "train")
+    dataset = registry.get("dataset", name)(task=split, **data_cfg)
+
+    size = config["data"].get("preprocessing", {}).get("resize", [240, 320])
+    model, variables = _load_variables(config, size)
+    m = config["model"]
+    sub = m.get("subpixel", {})
+    dd_fn = make_detect_describe_fn(
+        model.apply, variables,
+        top_k=int(m.get("top_k", 1000)),
+        conf_thresh=float(m.get("detection_threshold", 0.015)),
+        nms_radius=int(m.get("nms", 4)),
+        subpixel=bool(sub.get("enable", False)),
+        patch_size=int(sub.get("patch_size", 5)),
+    )
+    exper = ExperimentPaths(exper_name)
+    out_root = exper.predictions / split
+    n = 0
+    for img_name, img in dataset.images():
+        out_file = out_root / f"{img_name}.npz"
+        if out_file.exists():
+            continue
+        out_file.parent.mkdir(parents=True, exist_ok=True)
+        import jax.numpy as jnp
+
+        pts, valid, desc = jax.device_get(dd_fn(jnp.asarray(img)))
+        v = np.asarray(valid)
+        np.savez_compressed(out_file, pts=np.asarray(pts)[v], desc=np.asarray(desc)[v])
+        n += 1
+    log.info("exported %d frames to %s", n, out_root)
+
+
 def main() -> None:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
     ap = argparse.ArgumentParser(description="ssp export")
     sub = ap.add_subparsers(dest="command", required=True)
-    for cmd in ("export_detector_homoAdapt", "export_descriptor"):
+    for cmd in ("export_detector_homoAdapt", "export_descriptor", "export_sequence"):
         p = sub.add_parser(cmd)
         p.add_argument("config")
         p.add_argument("exper_name")
@@ -119,6 +162,8 @@ def main() -> None:
     config = load_config(args.config)
     if args.command == "export_detector_homoAdapt":
         export_detector_homoAdapt(config, args.exper_name)
+    elif args.command == "export_sequence":
+        export_sequence(config, args.exper_name)
     else:
         export_descriptor(config, args.exper_name)
 

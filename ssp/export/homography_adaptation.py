@@ -60,6 +60,7 @@ def make_ha_fn(
     homography_params: Optional[Dict[str, Any]] = None,
     erosion_radius: int = 3,
     aggregation: str = "sum",
+    filter_counts: int = 0,
     top_k: int = 600,
     conf_thresh: float = 0.015,
     nms_radius: int = 4,
@@ -101,10 +102,15 @@ def make_ha_fn(
             masks, Hs_inv
         )
 
+        counts = jnp.sum(mask_back, axis=0)
         if aggregation == "max":
             agg = jnp.max(back, axis=0)
         else:  # "sum" (mean over contributing warps)
-            agg = jnp.sum(back, axis=0) / (jnp.sum(mask_back, axis=0) + 1e-6)
+            agg = jnp.sum(back, axis=0) / (counts + 1e-6)
+        if filter_counts > 0:
+            # drop pixels observed by too few warps (reference HA spec,
+            # models/homographies.py:87-99)
+            agg = jnp.where(counts >= filter_counts, agg, 0.0)
 
         pts, valid = extract_keypoints(
             agg, k=top_k, conf_thresh=conf_thresh, nms_radius=nms_radius
