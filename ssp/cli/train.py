@@ -31,11 +31,13 @@ def train_joint(config: dict, exper_name: str, debug: bool = False) -> None:
     agent_cls = registry.get("agent", config["front_end_model"])
     agent = agent_cls(config, save_path=exper, exper_name=exper_name)
 
+    from ssp.data.prefetch import Prefetcher
+
     train_set = make_dataset(config, "train")
     val_set = make_dataset(config, "val")
     bs = int(config["model"].get("real_batch_size", config["model"]["batch_size"]))
     seed = int(config.get("seed", 0))
-    agent.train_loader = train_set.batches(bs, shuffle=True, seed=seed)
+    agent.train_loader = Prefetcher(train_set.batches(bs, shuffle=True, seed=seed))
     agent.val_loader = val_set.batches(
         int(config["model"].get("eval_batch_size", bs)), shuffle=False, seed=seed
     )

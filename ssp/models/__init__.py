@@ -5,3 +5,4 @@ from ssp.models.superpoint import (  # noqa: F401
     SuperPointMagicLeap,
     build_model,
 )
+from ssp.models.subpixel import SubpixelNet  # noqa: F401

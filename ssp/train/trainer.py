@@ -243,13 +243,26 @@ class TrainAgent:
         prev_handler = signal.signal(
             signal.SIGINT, lambda *_: interrupted.update(flag=True)
         )
+        # optional jax.profiler trace of the first post-warmup steps
+        # (config: profile: {enable: true, logdir: ..., steps: N})
+        prof_cfg = self.config.get("profile", {}) or {}
+        prof_active = False
         t0 = time.time()
         try:
             while self.n_iter < self.max_iter and not interrupted["flag"]:
+                if prof_cfg.get("enable") and not prof_active and self.n_iter == 2 * self.r:
+                    jax.profiler.start_trace(
+                        prof_cfg.get("logdir", str(self.exper.root / "profile"))
+                    )
+                    prof_active = True
                 host_batch = next(self.train_loader)
                 key, k_prep, k_step = jax.random.split(key, 3)
                 batch = self._prep_train(k_prep, shard_batch(host_batch, self.mesh))
                 self.state, metrics = self.train_step(self.state, batch, k_step)
+                if prof_active and self.n_iter >= (2 + int(prof_cfg.get("steps", 5))) * self.r:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    prof_active = False
 
                 if self.n_iter % tb_int == 0:
                     scal = {k: float(v) for k, v in jax.device_get(metrics).items()}
