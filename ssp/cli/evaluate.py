@@ -74,7 +74,33 @@ def _nn_map(data: Dict[str, np.ndarray]) -> float:
     return float(average_precision_score(inliers, scores))
 
 
-def evaluate(path: Path, do_rep: bool = True, do_homo: bool = True) -> Dict[str, float]:
+def _save_visuals(path: Path, stem: str, data: Dict[str, np.ndarray]) -> None:
+    """Keypoint overlays + match drawing per pair (reference
+    ``evaluation.py`` --outputImg: warping/matching/repeatibility dirs)."""
+    import cv2
+
+    from ssp.utils.draw import draw_keypoints, draw_matches
+
+    rep_dir = path / "repeatibility3"
+    match_dir = path / "matching"
+    rep_dir.mkdir(exist_ok=True)
+    match_dir.mkdir(exist_ok=True)
+    img1 = data["image"][..., 0] if data["image"].ndim == 3 else data["image"]
+    img2 = (
+        data["warped_image"][..., 0]
+        if data["warped_image"].ndim == 3
+        else data["warped_image"]
+    )
+    cv2.imwrite(str(rep_dir / f"{stem}_1.png"), draw_keypoints(img1, data["prob"]))
+    cv2.imwrite(str(rep_dir / f"{stem}_2.png"), draw_keypoints(img2, data["warped_prob"]))
+    if "matches" in data and len(data["matches"]):
+        canvas = draw_matches(img1, data["prob"], img2, data["warped_prob"], data["matches"])
+        cv2.imwrite(str(match_dir / f"{stem}.png"), canvas)
+
+
+def evaluate(
+    path: Path, do_rep: bool = True, do_homo: bool = True, output_img: bool = False
+) -> Dict[str, float]:
     files = sorted(
         (p for p in Path(path).glob("*.npz") if p.stem.isdigit()),
         key=lambda p: int(p.stem),
@@ -94,6 +120,8 @@ def evaluate(path: Path, do_rep: bool = True, do_homo: bool = True) -> Dict[str,
             data = {k: z[k] for k in z.files}
         shape_hw = data["image"].shape[:2]
         H = data["homography"]
+        if output_img:
+            _save_visuals(Path(path), f.stem, data)
         if do_rep:
             r = compute_repeatability(
                 data["prob"], data["warped_prob"], H, shape_hw,
@@ -136,10 +164,11 @@ def main() -> None:
     ap.add_argument("path", help="predictions directory of <i>.npz files")
     ap.add_argument("-r", "--repeatibility", action="store_true")
     ap.add_argument("-homo", "--homography", action="store_true")
+    ap.add_argument("-o", "--outputImg", action="store_true")
     args = ap.parse_args()
     do_rep = args.repeatibility or not args.homography
     do_homo = args.homography or not args.repeatibility
-    summary = evaluate(Path(args.path), do_rep, do_homo)
+    summary = evaluate(Path(args.path), do_rep, do_homo, output_img=args.outputImg)
     for k, v in summary.items():
         print(f"{k}: {v}")
 

@@ -48,6 +48,14 @@ def train_joint(config: dict, exper_name: str, debug: bool = False) -> None:
 
 def main() -> None:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    import os
+
+    if os.environ.get("SSP_DISTRIBUTED"):
+        # multi-host pod slices: one process per host over DCN
+        # (coordinator/process env comes from the launcher, e.g. GKE/TPU VM)
+        import jax
+
+        jax.distributed.initialize()
     ap = argparse.ArgumentParser(description="ssp training")
     sub = ap.add_subparsers(dest="command", required=True)
     for cmd in ("train_base", "train_joint"):

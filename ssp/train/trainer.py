@@ -111,7 +111,15 @@ class TrainAgent:
 
         self.exper = save_path or ExperimentPaths(exper_name)
         self.exper.dump_config(self.config)
-        self.mesh = mesh or make_mesh()
+        if mesh is None:
+            # data-parallel mesh over the largest device count that
+            # divides the global batch (batches shard evenly or not at all)
+            devices = jax.devices()
+            n = len(devices)
+            while self.real_batch_size % n:
+                n -= 1
+            mesh = make_mesh(devices[:n])
+        self.mesh = mesh
         self.n_iter = 0
         self.max_iter = self.config["train_iter"]
 

@@ -37,8 +37,17 @@ class ExperimentPaths:
     def dump_config(self, config: Dict[str, Any]) -> None:
         import yaml
 
+        def sanitize(x):
+            if isinstance(x, dict):
+                return {k: sanitize(v) for k, v in x.items()}
+            if isinstance(x, (list, tuple)):
+                return [sanitize(v) for v in x]
+            if isinstance(x, (str, int, float, bool)) or x is None:
+                return x
+            return str(x)  # dtypes, paths, callables → repr
+
         with open(self.root / "config.yml", "w") as f:
-            yaml.safe_dump(config, f)
+            yaml.safe_dump(sanitize(config), f)
 
 
 class MetricsLogger:

@@ -1,0 +1,133 @@
+"""Trainer loop smoke, checkpoint round-trip, dataset readers."""
+
+import os
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ssp.train.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from ssp.train.state import create_train_state
+from ssp.models import build_model
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        model = build_model("SuperPointNet_gauss2", dtype=jnp.float32)
+        state = create_train_state(model, jax.random.key(0), (1, 32, 32, 1))
+        state = state.replace(step=jnp.asarray(42), etas=jnp.array([0.5, 1.5, -0.2]))
+        save_checkpoint(tmp_path, state, 42)
+        assert latest_checkpoint(tmp_path).name == "superPointNet_42"
+
+        fresh = create_train_state(model, jax.random.key(1), (1, 32, 32, 1))
+        restored = load_checkpoint(latest_checkpoint(tmp_path), fresh, mode="full")
+        assert int(restored.step) == 42
+        np.testing.assert_allclose(
+            np.asarray(restored.etas), [0.5, 1.5, -0.2], atol=1e-6
+        )
+        a = jax.tree_util.tree_leaves(state.params)[0]
+        b = jax.tree_util.tree_leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_weights_mode_keeps_opt_state(self, tmp_path):
+        model = build_model("SuperPointNet_gauss2", dtype=jnp.float32)
+        state = create_train_state(model, jax.random.key(0), (1, 32, 32, 1))
+        state = state.replace(step=jnp.asarray(7))
+        save_checkpoint(tmp_path, state, 7)
+        fresh = create_train_state(model, jax.random.key(1), (1, 32, 32, 1))
+        restored = load_checkpoint(
+            latest_checkpoint(tmp_path), fresh, mode="weights", reset_iter=True
+        )
+        assert int(restored.step) == 0
+
+
+class TestTrainerSmoke:
+    def test_few_iters(self, tmp_path):
+        from ssp.data.synthetic_dataset import SyntheticShapesDataset
+        from ssp.train.trainer import TrainAgent
+        from ssp.utils.experiment import ExperimentPaths
+
+        config = {
+            "data": {
+                "preprocessing": {"resize": [48, 64]},
+                "augmentation": {
+                    "photometric": {"enable": False},
+                    "homographic": {"enable": False},
+                },
+                "warped_pair": {"enable": False},
+            },
+            "model": {
+                "name": "SuperPointNet_gauss2",
+                "params": {"dtype": jnp.float32},
+                "batch_size": 4,
+                "learning_rate": 0.01,
+                "lambda_loss": 0,
+            },
+            "train_iter": 4,
+            "validation_interval": 2,
+            "tensorboard_interval": 2,
+            "save_interval": 4,
+            "validation_size": 0,
+        }
+        exper = ExperimentPaths("trainer_smoke", tmp_path)
+        agent = TrainAgent(config, save_path=exper)
+        ds = SyntheticShapesDataset(
+            task="train", primitives=["draw_polygon"],
+            generation={"split_sizes": {"training": 8, "validation": 4}},
+            cache_dir=tmp_path / "synth", preprocessing={"resize": [48, 64]},
+        )
+        agent.train_loader = ds.batches(4, seed=0)
+        agent.val_loader = ds.batches(4, shuffle=False, seed=0)
+        agent.train()
+        assert latest_checkpoint(exper.checkpoints) is not None
+        assert (exper.root / "metrics_train.jsonl").read_text().strip()
+
+
+class TestReaders:
+    def test_coco_reader(self, tmp_path):
+        from ssp.data.coco import CocoDataset
+
+        img_dir = tmp_path / "COCO" / "train2017"
+        img_dir.mkdir(parents=True)
+        lbl_dir = tmp_path / "labels" / "train2017"
+        lbl_dir.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            img = rng.uniform(0, 255, (60, 90)).astype(np.uint8)
+            cv2.imwrite(str(img_dir / f"{i:012d}.jpg"), img)
+            if i < 2:  # one image without labels → dropped in label mode
+                np.savez(lbl_dir / f"{i:012d}.npz", pts=rng.uniform(0, 50, (7, 3)))
+        ds = CocoDataset(
+            task="train", root=tmp_path / "COCO", labels=tmp_path / "labels",
+            preprocessing={"resize": [48, 64]},
+        )
+        assert len(ds) == 2  # label-join drops the unlabeled image
+        s = ds[0]
+        assert s["image"].shape == (48, 64)
+        assert s["points_valid"].sum() == 7
+
+        ds_nolabel = CocoDataset(
+            task="train", root=tmp_path / "COCO", preprocessing={"resize": [48, 64]}
+        )
+        assert len(ds_nolabel) == 3
+
+    def test_kitti_reader(self, tmp_path):
+        from ssp.data.kitti import KittiDataset
+
+        drive = tmp_path / "kitti" / "2011_09_26_drive_0001" / "image_02" / "data"
+        drive.mkdir(parents=True)
+        rng = np.random.default_rng(1)
+        for i in range(2):
+            cv2.imwrite(str(drive / f"{i:06d}.png"),
+                        rng.uniform(0, 255, (40, 120)).astype(np.uint8))
+        (tmp_path / "kitti" / "train.txt").write_text("2011_09_26_drive_0001\n")
+        ds = KittiDataset(
+            task="train", root=tmp_path / "kitti",
+            root_split_txt=tmp_path / "kitti", preprocessing={"resize": [32, 96]},
+        )
+        assert len(ds) == 2
+        name, img = next(ds.images())
+        assert img.shape == (32, 96)
+        assert name.startswith("2011_09_26_drive_0001/")
