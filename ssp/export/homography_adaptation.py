@@ -66,13 +66,22 @@ def make_ha_fn(
     nms_radius: int = 4,
     subpixel: bool = False,
     patch_size: int = 5,
+    chunk: int = 25,
 ):
     """Build the jitted per-image HA function.
 
     Returns ``ha(key, image [H, W]) → (pts [top_k, 3], valid [top_k])``
     with pts = (x, y, score).  vmap/shard it over images.
+
+    Memory shape: the 100-warp stack's conv activations would be ~1 GB+
+    per image at 240×320 (and 4× that at 480×640), so the warp batch is
+    processed in ``chunk``-sized slices via ``lax.map`` with running
+    sum/max accumulators — peak activation memory is bounded by one
+    chunk while the MXU still sees well-sized conv batches.
     """
     h_params = dict(homography_params or DEFAULT_HA["homographies"]["params"])
+    assert num_h % chunk == 0 or num_h < chunk, (num_h, chunk)
+    chunk = min(chunk, num_h)
 
     def ha_one(key: jax.Array, image: jnp.ndarray):
         H_img, W_img = image.shape
@@ -81,32 +90,45 @@ def make_ha_fn(
         # H[0]=I, datasets/Coco.py:271)
         Hs = sample_homographies(key, num_h - 1, shift=-1.0, **h_params)
         Hs = jnp.concatenate([jnp.eye(3)[None], Hs], axis=0)  # [N, 3, 3]
-
-        # warp the image into the stack: content map original→warped is
-        # inv(Hs) under inv_warp_image(img, Hs)
-        imgs = jax.vmap(lambda Hm: inv_warp_image(image[..., None], Hm))(Hs)
-        masks = jax.vmap(
-            lambda Hm: compute_valid_mask((H_img, W_img), Hm, erosion_radius)
-        )(Hs)
-
-        out = apply_fn(variables, imgs, train=False)
-        heat = flatten_detection(out["semi"])[..., 0]  # [N, H, W]
-        heat = heat * masks
-
-        # back to the original frame: sample warped frame at inv(Hs)(q)
         Hs_inv = jnp.linalg.inv(Hs)
-        back = jax.vmap(lambda h, Hm: inv_warp_image(h[..., None], Hm)[..., 0])(
-            heat, Hs_inv
-        )
-        mask_back = jax.vmap(lambda m, Hm: inv_warp_image(m[..., None], Hm)[..., 0])(
-            masks, Hs_inv
-        )
 
-        counts = jnp.sum(mask_back, axis=0)
+        def process_chunk(h_pair):
+            h_c, h_inv_c = h_pair  # [chunk, 3, 3] each
+            # warp the image into the stack: content map original→warped
+            # is inv(Hs) under inv_warp_image(img, Hs)
+            imgs = jax.vmap(lambda Hm: inv_warp_image(image[..., None], Hm))(h_c)
+            masks = jax.vmap(
+                lambda Hm: compute_valid_mask((H_img, W_img), Hm, erosion_radius)
+            )(h_c)
+            out = apply_fn(variables, imgs, train=False)
+            heat = flatten_detection(out["semi"])[..., 0] * masks
+            # back to the original frame: sample warped frame at inv(H)(q)
+            back = jax.vmap(
+                lambda h, Hm: inv_warp_image(h[..., None], Hm)[..., 0]
+            )(heat, h_inv_c)
+            mask_back = jax.vmap(
+                lambda m, Hm: inv_warp_image(m[..., None], Hm)[..., 0]
+            )(masks, h_inv_c)
+            return (
+                jnp.sum(back, axis=0),
+                jnp.max(back, axis=0),
+                jnp.sum(mask_back, axis=0),
+            )
+
+        n_chunks = num_h // chunk
+        sums, maxs, counts = jax.lax.map(
+            process_chunk,
+            (
+                Hs.reshape(n_chunks, chunk, 3, 3),
+                Hs_inv.reshape(n_chunks, chunk, 3, 3),
+            ),
+        )
+        total = jnp.sum(sums, axis=0)
+        counts = jnp.sum(counts, axis=0)
         if aggregation == "max":
-            agg = jnp.max(back, axis=0)
+            agg = jnp.max(maxs, axis=0)
         else:  # "sum" (mean over contributing warps)
-            agg = jnp.sum(back, axis=0) / (counts + 1e-6)
+            agg = total / (counts + 1e-6)
         if filter_counts > 0:
             # drop pixels observed by too few warps (reference HA spec,
             # models/homographies.py:87-99)
