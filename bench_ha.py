@@ -33,19 +33,18 @@ def main():
     )
     variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
     ha = make_ha_fn(model.apply, variables, num_h=NUM_H, top_k=600)
-    ha_group = jax.jit(jax.vmap(ha))
 
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.uniform(size=(GROUP, H, W)).astype(np.float32))
     keys = jax.random.split(jax.random.key(1), GROUP)
 
-    out = ha_group(keys, imgs)
+    out = ha(keys, imgs)
     jax.block_until_ready(out)
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = ha_group(keys, imgs)
+        out = ha(keys, imgs)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     img_per_s = GROUP * iters / dt

@@ -69,10 +69,13 @@ def export_detector_homoAdapt(config: dict, exper_name: str) -> None:
     )
     exper = ExperimentPaths(exper_name)
     out_dir = exper.predictions / split
+    from ssp.parallel import make_mesh
+
+    mesh = make_mesh()
     n_dev = len(jax.devices())
     n = run_ha_export(
         ha_fn, dataset.images(), out_dir, seed=int(config.get("seed", 0)),
-        group=max(n_dev, 1),
+        group=max(n_dev, 1), mesh=mesh if n_dev > 1 else None,
     )
     log.info("exported %d predictions to %s", n, out_dir)
 

@@ -29,23 +29,56 @@ import jax
 import jax.numpy as jnp
 
 
+def adjugate3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate of [..., 3, 3] (adj(M) = det(M)·M⁻¹)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    row0 = jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], axis=-1)
+    row1 = jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], axis=-1)
+    row2 = jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def inv3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of [..., 3, 3].
+
+    Replaces ``jnp.linalg.inv`` on the geometry paths: batched LU on
+    tiny matrices is both slower and dramatically more expensive to
+    compile on TPU than the adjugate formula.
+    """
+    adj = adjugate3(M)
+    det = (
+        M[..., 0, 0] * adj[..., 0, 0]
+        + M[..., 0, 1] * adj[..., 1, 0]
+        + M[..., 0, 2] * adj[..., 2, 0]
+    )
+    return adj / det[..., None, None]
+
+
+def _quad_basis(q: jnp.ndarray) -> jnp.ndarray:
+    """Projective map sending the basis frame e1,e2,e3,(1,1,1) onto the
+    4 points ``q [4, 2]``: columns λᵢ·[qᵢ, 1] with [λ] = A⁻¹·[q₄, 1]."""
+    ones = jnp.ones_like(q[:, :1])
+    qh = jnp.concatenate([q, ones], axis=-1)  # [4, 3]
+    A = qh[:3].T  # [3, 3] columns are q1..q3 homogeneous
+    lam = inv3(A) @ qh[3]
+    return A * lam[None, :]
+
+
 def homography_from_corners(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
-    """DLT solve: the 3×3 H with H @ [pts1, 1]ᵀ ∝ [pts2, 1]ᵀ (4 points, (x, y)).
+    """The 3×3 H with H @ [pts1, 1]ᵀ ∝ [pts2, 1]ᵀ (4 points, (x, y)).
 
     Equivalent of ``cv2.getPerspectiveTransform(pts1, pts2)``
-    (reference call site ``utils/homographies.py:140``).
+    (reference call site ``utils/homographies.py:140``), computed by the
+    classical projective-basis construction — two closed-form 3×3 maps
+    instead of an 8×8 DLT solve (the batched LU was a compile-time and
+    runtime sink on TPU).  Normalized so H[2,2] = 1.
     """
-    x, y = pts1[:, 0], pts1[:, 1]
-    xp, yp = pts2[:, 0], pts2[:, 1]
-    zeros = jnp.zeros_like(x)
-    ones = jnp.ones_like(x)
-    # Rows: [x y 1 0 0 0 -x·x' -y·x'] h = x' ; [0 0 0 x y 1 -x·y' -y·y'] h = y'
-    ax = jnp.stack([x, y, ones, zeros, zeros, zeros, -x * xp, -y * xp], axis=-1)
-    ay = jnp.stack([zeros, zeros, zeros, x, y, ones, -x * yp, -y * yp], axis=-1)
-    A = jnp.concatenate([ax, ay], axis=0)  # [8, 8]
-    b = jnp.concatenate([xp, yp], axis=0)  # [8]
-    h = jnp.linalg.solve(A, b)
-    return jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
+    M1 = _quad_basis(pts1)
+    M2 = _quad_basis(pts2)
+    H = M2 @ inv3(M1)
+    return H / H[2, 2]
 
 
 def warp_points(points: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:

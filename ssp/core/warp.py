@@ -148,9 +148,42 @@ def compute_valid_mask(
 ) -> jnp.ndarray:
     """Mask of pixels that map inside the source image under ``H_inv``.
 
-    Warp an all-ones image (nearest) and optionally erode
-    (reference ``utils/utils.py:715-742``).  Returns [H, W] float.
+    Reference semantics: warp an all-ones image (nearest) and erode with
+    an ellipse kernel (``utils/utils.py:715-742``).  Computed here in
+    closed form: the valid region is exactly the set of pixels whose
+    normalized coordinates map into [-1, 1]² — four inequality tests —
+    and the erosion of that region is the same test with the bounds
+    pulled in by the erosion radius (converted to normalized units via
+    the local warp scale).  No warp, no gathers, no morphology loop.
+
+    Returns [H, W] float.
     """
-    ones = jnp.ones((shape[0], shape[1], 1))
-    mask = inv_warp_image(ones, H_inv, mode="nearest")[..., 0]
-    return erode_mask(mask, erosion_radius)
+    H_px, W_px = shape
+    grid = _norm_grid(H_px, W_px).reshape(-1, 2)
+    src = warp_points(grid, H_inv)  # normalized source coords
+
+    if erosion_radius > 0:
+        # local scale of the map (pixels of source per pixel of dest),
+        # evaluated at the centre — good enough for the small erosion
+        # radii the configs use (2–3 px)
+        c = jnp.zeros((3, 2))
+        c = jnp.stack([jnp.zeros(2), jnp.array([2.0 / (W_px - 1), 0.0]),
+                       jnp.array([0.0, 2.0 / (H_px - 1)])])
+        wc = warp_points(c, H_inv)
+        sx = jnp.linalg.norm(wc[1] - wc[0]) / (2.0 / (W_px - 1))
+        sy = jnp.linalg.norm(wc[2] - wc[0]) / (2.0 / (H_px - 1))
+        margin_x = erosion_radius * sx * 2.0 / (W_px - 1)
+        margin_y = erosion_radius * sy * 2.0 / (H_px - 1)
+    else:
+        margin_x = margin_y = 0.0
+
+    # nearest-warp in-bounds test: |coord| <= 1 (+ half-pixel rounding)
+    hx = 1.0 / (W_px - 1)
+    hy = 1.0 / (H_px - 1)
+    ok = (
+        (src[:, 0] >= -1.0 - hx + margin_x)
+        & (src[:, 0] <= 1.0 + hx - margin_x)
+        & (src[:, 1] >= -1.0 - hy + margin_y)
+        & (src[:, 1] <= 1.0 + hy - margin_y)
+    )
+    return ok.reshape(H_px, W_px).astype(jnp.float32)

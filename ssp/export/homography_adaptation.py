@@ -6,18 +6,22 @@ forward produces heatmaps, ``combine_heatmap`` (``export.py:49-59``)
 masks them, warps them back, and aggregates Σheat/Σmask; NMS + top-k
 selects pseudo-label keypoints written as npz.
 
-TPU-native redesign: the *entire* chain — homography sampling, warping,
-the batched forward, inverse warping, aggregation, NMS, top-k — is one
-jitted function per image, vmapped over a group of images and sharded
-over the device mesh by image.  The host only decodes images and writes
-npz.  No CPU warps, no per-warp host round trips: per image the device
-sees one [num_H, H, W, 1] conv batch (MXU) plus two gather-warps (VPU).
+TPU-native redesign: homography sampling, warping, the batched forward,
+inverse warping, aggregation, NMS and top-k all run on device with
+fixed shapes; the host only decodes images and writes npz.
+
+Staging: the chain is split into three separately-jitted programs —
+(1) sample+warp+mask for the full warp stack, (2) forward+back-warp+
+partial-aggregate per warp chunk, (3) aggregate+NMS+top-k.  One fused
+program is *possible* but XLA's fusion of the gather-warps into the
+convolutions exploded both compile time and runtime; staging keeps each
+program simple, bounds activation memory to one chunk, and still keeps
+every byte on device between stages.
 """
 
 from __future__ import annotations
 
 import logging
-from functools import partial
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
@@ -26,8 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssp.core.grid import flatten_detection
-from ssp.core.homography import sample_homographies
+from ssp.core.homography import inv3, sample_homographies
 from ssp.core.warp import compute_valid_mask, inv_warp_image
+from ssp.kernels.warp_twopass import inv_warp_image_twopass
 from ssp.postprocess.points import extract_keypoints, soft_argmax_refine
 
 log = logging.getLogger(__name__)
@@ -67,66 +72,67 @@ def make_ha_fn(
     subpixel: bool = False,
     patch_size: int = 5,
     chunk: int = 25,
+    use_twopass: bool = True,
 ):
-    """Build the jitted per-image HA function.
+    """Build the per-image-group HA callable.
 
-    Returns ``ha(key, image [H, W]) → (pts [top_k, 3], valid [top_k])``
-    with pts = (x, y, score).  vmap/shard it over images.
-
-    Memory shape: the 100-warp stack's conv activations would be ~1 GB+
-    per image at 240×320 (and 4× that at 480×640), so the warp batch is
-    processed in ``chunk``-sized slices via ``lax.map`` with running
-    sum/max accumulators — peak activation memory is bounded by one
-    chunk while the MXU still sees well-sized conv batches.
+    Returns ``ha(keys [G], images [G, H, W]) → (pts [G, top_k, 3],
+    valid [G, top_k])`` — a Python function composing three jitted
+    stages (see module docstring).  Also callable with unbatched
+    ``(key, image [H, W])``.
     """
     h_params = dict(homography_params or DEFAULT_HA["homographies"]["params"])
-    assert num_h % chunk == 0 or num_h < chunk, (num_h, chunk)
     chunk = min(chunk, num_h)
+    # the gather-based warp runs ~100M samples/s on TPU; the two-pass
+    # one-hot warp (ssp/kernels/warp_twopass.py) avoids gathers entirely
+    warp = inv_warp_image_twopass if use_twopass else inv_warp_image
 
-    def ha_one(key: jax.Array, image: jnp.ndarray):
-        H_img, W_img = image.shape
+    @jax.jit
+    def warp_stage(keys: jax.Array, images: jnp.ndarray):
+        """[G], [G, H, W] → warp stack [G, N, H, W], masks, Hs_inv."""
+        G, H_img, W_img = images.shape
 
-        # num_h-1 random warps + identity in slot 0 (reference sets
-        # H[0]=I, datasets/Coco.py:271)
-        Hs = sample_homographies(key, num_h - 1, shift=-1.0, **h_params)
-        Hs = jnp.concatenate([jnp.eye(3)[None], Hs], axis=0)  # [N, 3, 3]
-        Hs_inv = jnp.linalg.inv(Hs)
-
-        def process_chunk(h_pair):
-            h_c, h_inv_c = h_pair  # [chunk, 3, 3] each
-            # warp the image into the stack: content map original→warped
-            # is inv(Hs) under inv_warp_image(img, Hs)
-            imgs = jax.vmap(lambda Hm: inv_warp_image(image[..., None], Hm))(h_c)
+        def one(key, image):
+            Hs = sample_homographies(key, num_h - 1, shift=-1.0, **h_params)
+            # identity in slot 0 (reference sets H[0]=I, Coco.py:271)
+            Hs = jnp.concatenate([jnp.eye(3)[None], Hs], axis=0)
+            imgs = jax.vmap(lambda Hm: warp(image[..., None], Hm))(Hs)
             masks = jax.vmap(
                 lambda Hm: compute_valid_mask((H_img, W_img), Hm, erosion_radius)
-            )(h_c)
-            out = apply_fn(variables, imgs, train=False)
-            heat = flatten_detection(out["semi"])[..., 0] * masks
-            # back to the original frame: sample warped frame at inv(H)(q)
-            back = jax.vmap(
-                lambda h, Hm: inv_warp_image(h[..., None], Hm)[..., 0]
-            )(heat, h_inv_c)
-            mask_back = jax.vmap(
-                lambda m, Hm: inv_warp_image(m[..., None], Hm)[..., 0]
-            )(masks, h_inv_c)
-            return (
-                jnp.sum(back, axis=0),
-                jnp.max(back, axis=0),
-                jnp.sum(mask_back, axis=0),
-            )
+            )(Hs)
+            return imgs[..., 0], masks, inv3(Hs)
 
-        n_chunks = num_h // chunk
-        sums, maxs, counts = jax.lax.map(
-            process_chunk,
-            (
-                Hs.reshape(n_chunks, chunk, 3, 3),
-                Hs_inv.reshape(n_chunks, chunk, 3, 3),
-            ),
-        )
-        total = jnp.sum(sums, axis=0)
-        counts = jnp.sum(counts, axis=0)
+        return jax.vmap(one)(keys, images)
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def forward_stage(
+        total, counts, maxs,
+        imgs: jnp.ndarray, masks: jnp.ndarray, Hs_inv: jnp.ndarray,
+        g_idx: jnp.ndarray,
+    ):
+        """One chunk: forward + back-warp + *in-jit* accumulation into
+        the donated per-group accumulators (keeping the accumulation
+        inside the jit matters: eager per-chunk adds cost a device
+        dispatch each, which dominates on high-latency links)."""
+        out = apply_fn(variables, imgs[..., None], train=False)
+        heat = flatten_detection(out["semi"])[..., 0] * masks
+        # back to the original frame: heat and mask share sampling
+        # coordinates — warp them as two channels in one pass
+        stacked = jnp.stack([heat, masks], axis=-1)
+        back2 = jax.vmap(warp)(stacked, Hs_inv)
+        back, mask_back = back2[..., 0], back2[..., 1]
+        G = total.shape[0]
+        total = total + jax.ops.segment_sum(back, g_idx, num_segments=G)
+        counts = counts + jax.ops.segment_sum(mask_back, g_idx, num_segments=G)
+        maxs = jnp.maximum(maxs, jax.ops.segment_max(back, g_idx, num_segments=G))
+        return total, counts, maxs
+
+    @jax.jit
+    def finish_stage(total, counts, maxs):
         if aggregation == "max":
-            agg = jnp.max(maxs, axis=0)
+            agg = maxs
         else:  # "sum" (mean over contributing warps)
             agg = total / (counts + 1e-6)
         if filter_counts > 0:
@@ -134,14 +140,51 @@ def make_ha_fn(
             # models/homographies.py:87-99)
             agg = jnp.where(counts >= filter_counts, agg, 0.0)
 
-        pts, valid = extract_keypoints(
-            agg, k=top_k, conf_thresh=conf_thresh, nms_radius=nms_radius
-        )
-        if subpixel:
-            pts = soft_argmax_refine(agg, pts, patch_size)
-        return pts, valid
+        def one(a):
+            pts, valid = extract_keypoints(
+                a, k=top_k, conf_thresh=conf_thresh, nms_radius=nms_radius
+            )
+            if subpixel:
+                pts = soft_argmax_refine(a, pts, patch_size)
+            return pts, valid
 
-    return jax.jit(ha_one)
+        return jax.vmap(one)(agg)
+
+    @jax.jit
+    def reshape_stage(imgs, masks, Hs_inv):
+        G, N, H_img, W_img = imgs.shape
+        return (
+            imgs.reshape(G * N, H_img, W_img),
+            masks.reshape(G * N, H_img, W_img),
+            Hs_inv.reshape(G * N, 3, 3),
+        )
+
+    def ha(keys: jax.Array, images: jnp.ndarray):
+        squeeze = images.ndim == 2
+        if squeeze:
+            images = images[None]
+            keys = keys[None] if keys.ndim else jnp.stack([keys])
+        G, H_img, W_img = images.shape
+        imgs, masks, Hs_inv = warp_stage(keys, images)
+        imgs_f, masks_f, hs_f = reshape_stage(imgs, masks, Hs_inv)
+
+        total = jnp.zeros((G, H_img, W_img))
+        counts = jnp.zeros((G, H_img, W_img))
+        maxs = jnp.zeros((G, H_img, W_img))
+        n_total = G * num_h
+        all_g_idx = np.arange(n_total) // num_h
+        for s in range(0, n_total, chunk):
+            total, counts, maxs = forward_stage(
+                total, counts, maxs,
+                jax.lax.slice_in_dim(imgs_f, s, s + chunk),
+                jax.lax.slice_in_dim(masks_f, s, s + chunk),
+                jax.lax.slice_in_dim(hs_f, s, s + chunk),
+                jnp.asarray(all_g_idx[s : s + chunk]),
+            )
+        pts, valid = finish_stage(total, counts, maxs)
+        return (pts[0], valid[0]) if squeeze else (pts, valid)
+
+    return ha
 
 
 def run_ha_export(
@@ -151,39 +194,45 @@ def run_ha_export(
     *,
     seed: int = 0,
     group: int = 1,
+    mesh=None,
 ) -> int:
     """Drive the export: iterate (name, image) pairs, skip existing npz
     (restartability — reference ``export.py:297-301``), write
     ``<name>.npz`` with ``pts [N, 3]`` (x, y, score).
 
-    ``group`` > 1 processes several images per device dispatch (vmapped)
-    when their shapes match — use the mesh batch dimension to shard.
+    ``group`` > 1 processes several images per call; pass a ``mesh`` to
+    shard the group over its ``data`` axis (each device runs whole
+    images — the reference's DataParallel split one image's warp stack
+    instead, ``export.py:260``).
     """
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     count = 0
     key = jax.random.key(seed)
 
-    pending: list = []
+    sharding = None
+    if mesh is not None and group > 1:
+        from ssp.parallel import batch_sharding
 
-    vmapped = jax.jit(jax.vmap(ha_fn)) if group > 1 else None
+        sharding = batch_sharding(mesh)
+
+    pending: list = []
 
     def flush(pending):
         nonlocal count
         if not pending:
             return
-        if len(pending) == 1 or vmapped is None:
-            for name, img, k in pending:
-                pts, valid = ha_fn(k, jnp.asarray(img))
-                _write(out_dir / f"{name}.npz", pts, valid)
-                count += 1
-        else:
-            keys = jnp.stack([k for _, _, k in pending])
-            imgs = jnp.stack([jnp.asarray(i) for _, i, _ in pending])
-            pts_b, valid_b = vmapped(keys, imgs)
-            for (name, _, _), pts, valid in zip(pending, pts_b, valid_b):
-                _write(out_dir / f"{name}.npz", pts, valid)
-                count += 1
+        n_real = len(pending)
+        padded = pending + [pending[-1]] * (group - n_real)
+        keys = jnp.stack([k for _, _, k in padded])
+        imgs = jnp.stack([jnp.asarray(i) for _, i, _ in padded])
+        if sharding is not None:
+            keys = jax.device_put(keys, sharding)
+            imgs = jax.device_put(imgs, sharding)
+        pts_b, valid_b = ha_fn(keys, imgs)
+        for (name, _, _), pts, valid in list(zip(padded, pts_b, valid_b))[:n_real]:
+            _write(out_dir / f"{name}.npz", pts, valid)
+            count += 1
         pending.clear()
 
     for name, img in images:
@@ -199,6 +248,7 @@ def run_ha_export(
 
 
 def _write(path: Path, pts, valid) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
     pts = np.asarray(jax.device_get(pts))
     valid = np.asarray(jax.device_get(valid))
     np.savez_compressed(path, pts=pts[valid])

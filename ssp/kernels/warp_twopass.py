@@ -1,0 +1,163 @@
+"""Gather-free projective image warping (two-pass resampling).
+
+The gather-based bilinear warp (``ssp.core.warp.inv_warp_image``) runs
+at ~100 M samples/s on TPU — per-pixel gathers don't vectorize on the
+VPU and dominate homography-adaptation export (SURVEY.md §3.2's hot
+loop).  This module implements the classical Catmull–Smith two-pass
+decomposition instead: a projective warp factors into a vertical
+resample (per column) followed by a horizontal resample (per row), and
+each 1-D resample is expressed as a fused one-hot × reduce — pure
+broadcast/compare/multiply/sum that XLA maps onto the VPU at full rate,
+no gathers anywhere.
+
+Robustness: the decomposition degenerates ("bottleneck problem") for
+rotations near ±90°, so the homography's mean rotation is bucketed to
+the nearest multiple of 90°; the exact 90° part is applied as an array
+rotation (free layout op) and the two-pass handles only the ≤45°
+residual.  Rectangular images are embedded in a square canvas (top-left,
+zero pad) with the homography conjugated by the corresponding
+normalized-coordinate affine, so the rotation branches share shapes.
+
+Accuracy: bilinear-in-each-pass ≈ direct bilinear; differences are
+sub-pixel interpolation details (validated against the gather warp in
+tests).  Zero padding semantics match.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ssp.core.homography import inv3
+
+
+def _rot_k(k: int) -> jnp.ndarray:
+    """Rotation by k·90° in normalized square coords (x, y)."""
+    c = [1.0, 0.0, -1.0, 0.0][k]
+    s = [0.0, 1.0, 0.0, -1.0][k]
+    return jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def _vresample(img: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    """out[o, x] = img(rows[o, x], x), bilinear along axis 0, zero pad.
+
+    img: [S, S(, C)]; rows: [S, S] in pixel units.  Implemented as a
+    fused one-hot reduction over the source-row axis — no gathers.
+    """
+    S = img.shape[0]
+    y0 = jnp.floor(rows)
+    fy = rows - y0
+    y0i = y0.astype(jnp.int32)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (S, 1, 1), 0)  # [i, 1, 1]
+    w = jnp.where(ii == y0i[None], 1.0 - fy[None], 0.0) + jnp.where(
+        ii == y0i[None] + 1, fy[None], 0.0
+    )  # [i, o, x]
+    if img.ndim == 2:
+        return jnp.einsum("iox,ix->ox", w, img)
+    return jnp.einsum("iox,ixc->oxc", w, img)
+
+
+def _hresample(img: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
+    """out[y, o] = img(y, cols[y, o]), bilinear along axis 1, zero pad."""
+    S = img.shape[1]
+    x0 = jnp.floor(cols)
+    fx = cols - x0
+    x0i = x0.astype(jnp.int32)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)  # [1, 1, i]
+    w = jnp.where(ii == x0i[..., None], 1.0 - fx[..., None], 0.0) + jnp.where(
+        ii == x0i[..., None] + 1, fx[..., None], 0.0
+    )  # [y, o, i]
+    if img.ndim == 2:
+        return jnp.einsum("yoi,yi->yo", w, img)
+    return jnp.einsum("yoi,yic->yoc", w, img)
+
+
+def _twopass_square(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:
+    """out(p) = img(Hm·p) on a square [S, S(, C)] canvas, |rotation|≲45°.
+
+    Derivation: with Hm = [[a,b,c],[d,e,f],[g,h,i]] mapping output
+    normalized (x, y) to source (u, v):
+
+      pass 2 (horizontal): out(x, y) = tmp(u(x, y), y)
+      pass 1 (vertical):   tmp(x', y) = img(x', v₁(x', y))
+
+    where v₁(x', y) = v(x(x', y), y) and x(x', y) solves u(x, y) = x':
+      x = (b·y + c − x'·(h·y + i)) / (x'·g − a)
+    """
+    S = img.shape[0]
+    a, b, c = Hm[0, 0], Hm[0, 1], Hm[0, 2]
+    d, e, f = Hm[1, 0], Hm[1, 1], Hm[1, 2]
+    g, h, i = Hm[2, 0], Hm[2, 1], Hm[2, 2]
+
+    lin = jnp.linspace(-1.0, 1.0, S)
+    to_pix = (S - 1) / 2.0
+
+    # ---- pass 1: vertical resample.  grid over (x', y_out)
+    xp = lin[None, :]  # [1, S]  (columns = x')
+    yo = lin[:, None]  # [S, 1]
+    denom = xp * g - a
+    denom = jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
+    x_src = (b * yo + c - xp * (h * yo + i)) / denom
+    wsrc = g * x_src + h * yo + i
+    v1 = (d * x_src + e * yo + f) / jnp.where(jnp.abs(wsrc) < 1e-8, 1e-8, wsrc)
+    rows = (v1 + 1.0) * to_pix
+    # kill rows where the solve ran away (x far outside the canvas)
+    rows = jnp.where(jnp.abs(x_src) <= 1.5, rows, -10.0)
+    tmp = _vresample(img, rows)
+
+    # ---- pass 2: horizontal resample.  grid over (y, x_out)
+    xo = lin[None, :]
+    yy = lin[:, None]
+    w2 = g * xo + h * yy + i
+    u = (a * xo + b * yy + c) / jnp.where(jnp.abs(w2) < 1e-8, 1e-8, w2)
+    cols = (u + 1.0) * to_pix
+    return _hresample(tmp, cols)
+
+
+def _mean_rotation_bucket(Hm: jnp.ndarray) -> jnp.ndarray:
+    """Nearest multiple of 90° of the homography's mean rotation."""
+    Hn = Hm / Hm[2, 2]
+    theta = jnp.arctan2(Hn[1, 0] - Hn[0, 1], Hn[0, 0] + Hn[1, 1])
+    return jnp.mod(jnp.round(theta / (jnp.pi / 2)).astype(jnp.int32), 4)
+
+
+@partial(jax.jit, static_argnames=())
+def inv_warp_image_twopass(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:
+    """Drop-in twin of ``ssp.core.warp.inv_warp_image`` (bilinear).
+
+    img: [H, W] or [H, W, C]; Hm: [3, 3] acting on [-1, 1]² normalized
+    output coords (align-corners convention).
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    H_px, W_px = img.shape[0], img.shape[1]
+    S = max(H_px, W_px)
+
+    # embed into a square canvas (top-left) and conjugate Hm with the
+    # affine between canvas-normalized and image-normalized coords:
+    # x_img = s_x·x_canvas + (s_x − 1),  s_x = (S−1)/(W−1)
+    sx = (S - 1) / (W_px - 1)
+    sy = (S - 1) / (H_px - 1)
+    T = jnp.array([[sx, 0.0, sx - 1.0], [0.0, sy, sy - 1.0], [0.0, 0.0, 1.0]])
+    Hc = inv3(T) @ Hm @ T
+    canvas = jnp.pad(img, ((0, S - H_px), (0, S - W_px), (0, 0)))
+
+    k = _mean_rotation_bucket(Hc)
+
+    def branch(kk):
+        def run(_):
+            Hres = Hc @ _rot_k((4 - kk) % 4)  # Hc ∘ Rk⁻¹
+            mid = _twopass_square(canvas, Hres)
+            # out(p) = mid(Rk·p): with Rk the CCW rotation of normalized
+            # coords, out[i, j] = mid[j, S-1-i] for k=1 — exactly
+            # jnp.rot90(mid, k) on the array axes.
+            return jnp.rot90(mid, k=kk, axes=(0, 1))
+
+        return run
+
+    out = jax.lax.switch(k, [branch(kk) for kk in range(4)], None)
+    out = out[:H_px, :W_px]
+    return out[..., 0] if squeeze else out

@@ -36,7 +36,15 @@ import numpy as np
 from ssp import registry
 from ssp.data.pipeline import prepare_batch
 from ssp.models import build_model
-from ssp.parallel import make_mesh, shard_batch
+from ssp.parallel import batch_sharding, make_mesh, shard_batch
+
+
+def shard_batch_axis1(batch, mesh):
+    """Shard [steps, B, ...] host arrays over the data axis on axis 1."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(None, "data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 from ssp.registry import register
 from ssp.train.checkpoint import load_checkpoint, save_checkpoint
 from ssp.train.state import create_train_state
@@ -197,6 +205,29 @@ class TrainAgent:
             ignore_class=int(data.get("ignore_class", 133)),
         )
 
+        # multiple optimizer steps per device dispatch: a lax.scan over
+        # stacked host batches amortizes dispatch latency (useful on
+        # high-latency links; semantics identical, metrics = last step)
+        self.steps_per_dispatch = max(int(self.config.get("steps_per_dispatch", 1)), 1)
+        if self.steps_per_dispatch > 1:
+            prep = self._prep_train
+            base_step = self.train_step
+
+            def multi_step(state, stacked_batches, key):
+                keys = jax.random.split(key, self.steps_per_dispatch)
+
+                def body(st, inp):
+                    k, batch_raw = inp
+                    k_prep, k_step = jax.random.split(k)
+                    batch = prep(k_prep, batch_raw)
+                    st, metrics = base_step(st, batch, k_step)
+                    return st, metrics
+
+                state, metrics = jax.lax.scan(body, state, (keys, stacked_batches))
+                return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+            self.multi_train_step = jax.jit(multi_step, donate_argnums=(0,))
+
         pretrained = self.config.get("pretrained")
         if pretrained and not self.config.get("retrain", False):
             mode = "full" if not self.config.get("reset_iter", True) else "weights"
@@ -263,10 +294,21 @@ class TrainAgent:
                         prof_cfg.get("logdir", str(self.exper.root / "profile"))
                     )
                     prof_active = True
-                host_batch = next(self.train_loader)
                 key, k_prep, k_step = jax.random.split(key, 3)
-                batch = self._prep_train(k_prep, shard_batch(host_batch, self.mesh))
-                self.state, metrics = self.train_step(self.state, batch, k_step)
+                if self.steps_per_dispatch > 1:
+                    raws = [next(self.train_loader) for _ in range(self.steps_per_dispatch)]
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: np.stack(xs), *raws
+                    )
+                    stacked = shard_batch_axis1(stacked, self.mesh)
+                    self.state, metrics = self.multi_train_step(
+                        self.state, stacked, k_step
+                    )
+                    self.n_iter += self.r * (self.steps_per_dispatch - 1)
+                else:
+                    host_batch = next(self.train_loader)
+                    batch = self._prep_train(k_prep, shard_batch(host_batch, self.mesh))
+                    self.state, metrics = self.train_step(self.state, batch, k_step)
                 if prof_active and self.n_iter >= (2 + int(prof_cfg.get("steps", 5))) * self.r:
                     jax.block_until_ready(self.state.params)
                     jax.profiler.stop_trace()
