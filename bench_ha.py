@@ -19,7 +19,7 @@ import numpy as np
 
 NUM_H = 100
 H, W = 240, 320
-GROUP = 4  # images per dispatch
+GROUP = 8  # images per call
 
 
 def main():

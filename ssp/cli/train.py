@@ -26,7 +26,9 @@ def make_dataset(config: dict, task: str):
     return cls(task=task, **data_cfg)
 
 
-def train_joint(config: dict, exper_name: str, debug: bool = False) -> None:
+def train_joint(
+    config: dict, exper_name: str, debug: bool = False, eval_only: bool = False
+) -> None:
     exper = ExperimentPaths(exper_name)
     agent_cls = registry.get("agent", config["front_end_model"])
     agent = agent_cls(config, save_path=exper, exper_name=exper_name)
@@ -41,6 +43,12 @@ def train_joint(config: dict, exper_name: str, debug: bool = False) -> None:
     agent.val_loader = val_set.batches(
         int(config["model"].get("eval_batch_size", bs)), shuffle=False, seed=seed
     )
+    if eval_only:
+        # validation-only pass (reference train4.py --eval flag)
+        import jax
+
+        agent._validate(jax.random.key(seed))
+        return
     if debug:
         agent.max_iter = min(agent.max_iter, 10)
     agent.train()
@@ -63,9 +71,10 @@ def main() -> None:
         p.add_argument("config")
         p.add_argument("exper_name")
         p.add_argument("--debug", action="store_true")
+        p.add_argument("--eval", action="store_true")
     args = ap.parse_args()
     config = load_config(args.config)
-    train_joint(config, args.exper_name, debug=args.debug)
+    train_joint(config, args.exper_name, debug=args.debug, eval_only=args.eval)
 
 
 if __name__ == "__main__":

@@ -71,7 +71,7 @@ def make_ha_fn(
     nms_radius: int = 4,
     subpixel: bool = False,
     patch_size: int = 5,
-    chunk: int = 25,
+    chunk: int = 50,
     use_twopass: bool = True,
 ):
     """Build the per-image-group HA callable.
@@ -126,7 +126,10 @@ def make_ha_fn(
         G = total.shape[0]
         total = total + jax.ops.segment_sum(back, g_idx, num_segments=G)
         counts = counts + jax.ops.segment_sum(mask_back, g_idx, num_segments=G)
-        maxs = jnp.maximum(maxs, jax.ops.segment_max(back, g_idx, num_segments=G))
+        if aggregation == "max":
+            maxs = jnp.maximum(
+                maxs, jax.ops.segment_max(back, g_idx, num_segments=G)
+            )
         return total, counts, maxs
 
     @jax.jit

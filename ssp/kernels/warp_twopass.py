@@ -54,9 +54,15 @@ def _vresample(img: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
     w = jnp.where(ii == y0i[None], 1.0 - fy[None], 0.0) + jnp.where(
         ii == y0i[None] + 1, fy[None], 0.0
     )  # [i, o, x]
+    wb = w.astype(jnp.bfloat16)
+    ib = img.astype(jnp.bfloat16)
     if img.ndim == 2:
-        return jnp.einsum("iox,ix->ox", w, img)
-    return jnp.einsum("iox,ixc->oxc", w, img)
+        return jnp.einsum(
+            "iox,ix->ox", wb, ib, preferred_element_type=jnp.float32
+        )
+    return jnp.einsum(
+        "iox,ixc->oxc", wb, ib, preferred_element_type=jnp.float32
+    )
 
 
 def _hresample(img: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
@@ -69,9 +75,15 @@ def _hresample(img: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
     w = jnp.where(ii == x0i[..., None], 1.0 - fx[..., None], 0.0) + jnp.where(
         ii == x0i[..., None] + 1, fx[..., None], 0.0
     )  # [y, o, i]
+    wb = w.astype(jnp.bfloat16)
+    ib = img.astype(jnp.bfloat16)
     if img.ndim == 2:
-        return jnp.einsum("yoi,yi->yo", w, img)
-    return jnp.einsum("yoi,yic->yoc", w, img)
+        return jnp.einsum(
+            "yoi,yi->yo", wb, ib, preferred_element_type=jnp.float32
+        )
+    return jnp.einsum(
+        "yoi,yic->yoc", wb, ib, preferred_element_type=jnp.float32
+    )
 
 
 def _twopass_square(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:

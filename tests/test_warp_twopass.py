@@ -32,7 +32,9 @@ class TestTwoPassWarp:
     def test_identity(self):
         img = _smooth((48, 64), 0)
         got = np.asarray(inv_warp_image_twopass(jnp.asarray(img), jnp.eye(3)))
-        np.testing.assert_allclose(got, img, atol=1e-4)
+        # resample arithmetic runs in bf16 (≈0.4% rel) — the consumers
+        # (bf16 conv stack, heatmap averaging) don't resolve finer
+        np.testing.assert_allclose(got, img, atol=6e-3)
 
     def test_translation(self):
         img = _smooth((48, 64), 1)
