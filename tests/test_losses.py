@@ -163,3 +163,30 @@ class TestMultiTaskLoss:
     def test_gradient_flows_to_etas(self):
         g = jax.grad(lambda e: multi_task_loss(e, 1.0, 0.1, 0.1, 0.5))(init_etas())
         assert np.abs(np.asarray(g)).min() > 0
+
+
+class TestDenseLossTrainStep:
+    def test_train_step_dense(self):
+        """The dense descriptor-loss config path drives a full step."""
+        import jax
+        from ssp.data.pipeline import prepare_batch
+        from ssp.models import build_model
+        from ssp.train import create_train_state, make_train_step
+
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.uniform(size=(2, 32, 48)).astype(np.float32))
+        points = jnp.asarray(rng.uniform(4, 28, (2, 6, 2)).astype(np.float32))
+        batch = prepare_batch(
+            jax.random.key(0), images, points, jnp.ones((2, 6), bool),
+            warped_pair={"enable": True, "params": {"allow_artifacts": True}},
+        )
+        model = build_model("SuperPointNet_gauss2", dtype=jnp.float32)
+        state = create_train_state(model, jax.random.key(1), (1, 32, 48, 1))
+        step, _ = make_train_step(
+            semantic=False, warped_pair=True, desc_loss="dense",
+            desc_params={"lambda_d": 250.0, "descriptor_dist": 4.0},
+            lambda_loss=1.0, multi_task=True,
+        )
+        state, metrics = step(state, batch, jax.random.key(2))
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["positive_dist"]) >= 0
