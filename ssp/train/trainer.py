@@ -119,6 +119,7 @@ class TrainAgent:
 
         self.exper = save_path or ExperimentPaths(exper_name)
         self.exper.dump_config(self.config)
+        self._heat_fn = None
         if mesh is None:
             # data-parallel mesh over the largest device count that
             # divides the global batch (batches shard evenly or not at all)
@@ -342,12 +343,45 @@ class TrainAgent:
         logger = MetricsLogger(self.exper, "val")
         n_batches = int(self.config.get("validation_size", 4)) + 1
         agg: Dict[str, list] = {}
-        for _ in range(n_batches):
+        first_batch = None
+        for i in range(n_batches):
             host_batch = next(self.val_loader)
             key, k_prep, k_step = jax.random.split(key, 3)
             batch = self._prep_val(k_prep, shard_batch(host_batch, self.mesh))
+            if i == 0:
+                first_batch = batch
             metrics = self.eval_step(self.state, batch, k_step)
             for k, v in jax.device_get(metrics).items():
                 agg.setdefault(k, []).append(float(v))
         logger.log(self.n_iter, {k: float(np.mean(v)) for k, v in agg.items()}, prefix="val_")
+        if first_batch is not None:
+            self._log_val_images(logger, first_batch)
         logger.close()
+
+    def _log_val_images(self, logger: MetricsLogger, batch) -> None:
+        """Heatmap / label overlays for the first val image (reference
+        TensorBoard image logging, ``Train_model_frontend_all.py:535-566``)."""
+        try:
+            from ssp.core.grid import flatten_detection
+            from ssp.utils.draw import img_overlap
+
+            if self._heat_fn is None:
+                apply_fn = self.state.apply_fn
+
+                def heat_fn(params, stats, img):
+                    out = apply_fn(
+                        {"params": params, "batch_stats": stats}, img, train=False
+                    )
+                    return flatten_detection(out["semi"])
+
+                self._heat_fn = jax.jit(heat_fn)
+            heat = jax.device_get(
+                self._heat_fn(self.state.params, self.state.batch_stats,
+                              batch["image"][:1])
+            )[0, ..., 0]
+            img = np.asarray(jax.device_get(batch["image"][0, ..., 0]))
+            labels = np.asarray(jax.device_get(batch["labels_2d"][0, ..., 0]))
+            logger.log_image(self.n_iter, "val/heatmap_overlay",
+                             img_overlap(heat / max(heat.max(), 1e-6), labels, img))
+        except Exception:  # visualization must never kill training
+            log.exception("val image logging failed")

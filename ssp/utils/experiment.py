@@ -78,5 +78,22 @@ class MetricsLogger:
                 for k, v in scalars.items():
                     tf.summary.scalar(f"{prefix}{k}", float(v), step=int(step))
 
+    def log_image(self, step: int, name: str, image) -> None:
+        """Log an image overlay to TensorBoard (reference logs label/NMS/
+        heatmap overlays, ``Train_model_frontend_all.py:535-566``).
+        image: [H, W] or [H, W, C] float in [0, 1] or uint8."""
+        if self._tb is None:
+            return
+        import numpy as np
+        import tensorflow as tf
+
+        img = np.asarray(image)
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        with self._tb.as_default():
+            tf.summary.image(name, img[None], step=int(step))
+
     def close(self) -> None:
         self._jsonl.close()
