@@ -8,7 +8,7 @@ compares them directly.  Host-side by nature (OpenCV C++).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import cv2
 import numpy as np

@@ -14,7 +14,6 @@ by the partitioner (ICI), replacing the reference's absent NCCL.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax

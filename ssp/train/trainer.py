@@ -26,7 +26,6 @@ from __future__ import annotations
 import logging
 import signal
 import time
-from functools import partial
 from typing import Any, Dict, Iterator, Optional
 
 import jax
@@ -36,7 +35,14 @@ import numpy as np
 from ssp import registry
 from ssp.data.pipeline import prepare_batch
 from ssp.models import build_model
-from ssp.parallel import batch_sharding, make_mesh, shard_batch
+from ssp.parallel import make_mesh, shard_batch
+from ssp.registry import register
+from ssp.train.checkpoint import load_checkpoint, save_checkpoint
+from ssp.train.state import create_train_state
+from ssp.train.step import make_train_step
+from ssp.utils.experiment import ExperimentPaths, MetricsLogger
+
+log = logging.getLogger(__name__)
 
 
 def shard_batch_axis1(batch, mesh):
@@ -45,13 +51,6 @@ def shard_batch_axis1(batch, mesh):
 
     sharding = NamedSharding(mesh, P(None, "data"))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
-from ssp.registry import register
-from ssp.train.checkpoint import load_checkpoint, save_checkpoint
-from ssp.train.state import create_train_state
-from ssp.train.step import make_train_step
-from ssp.utils.experiment import ExperimentPaths, MetricsLogger
-
-log = logging.getLogger(__name__)
 
 DEFAULT_CONFIG: Dict[str, Any] = {
     "train_iter": 170000,
