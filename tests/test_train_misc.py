@@ -1,0 +1,53 @@
+"""LR schedule, cell masks, precision/recall helpers."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ssp.train.lr import polynomial_decay_schedule
+from ssp.train.step import cell_valid_mask
+from ssp.train.trainer import precision_recall
+
+
+class TestPolyLR:
+    def test_decay_shape(self):
+        # reference: PolynomialLRDecay(max_decay_steps=T, end=0.001, p=2)
+        sched = polynomial_decay_schedule(0.0025, 1000, end_lr=0.001, power=2.0)
+        assert float(sched(0)) == pytest.approx(0.0025)
+        mid = float(sched(500))
+        want_mid = (0.0025 - 0.001) * (1 - 0.5) ** 2 + 0.001
+        assert mid == pytest.approx(want_mid, rel=1e-5)
+        assert float(sched(1000)) == pytest.approx(0.001)
+        assert float(sched(5000)) == pytest.approx(0.001)  # clamps past T
+
+    def test_no_decay_when_end_equals_init(self):
+        # the Sp config uses lr=0.001 with end 0.001 — constant
+        sched = polynomial_decay_schedule(0.001, 1000)
+        assert float(sched(700)) == pytest.approx(0.001)
+
+
+class TestCellMask:
+    def test_all_or_nothing_cells(self):
+        mask = np.ones((1, 16, 16), np.float32)
+        mask[0, 3, 3] = 0.0  # one dead pixel in cell (0,0)
+        cm = np.asarray(cell_valid_mask(jnp.asarray(mask)))
+        assert cm.shape == (1, 2, 2)
+        assert cm[0, 0, 0] == 0.0  # cell with any invalid pixel is invalid
+        assert cm[0, 1, 1] == 1.0
+
+
+class TestPrecisionRecall:
+    def test_perfect(self):
+        heat = np.zeros((8, 8), np.float32)
+        heat[2, 2] = 0.5
+        labels = np.zeros((8, 8), np.float32)
+        labels[2, 2] = 1.0
+        p, r = precision_recall(heat, labels)
+        assert p == 1.0 and r == 1.0
+
+    def test_spurious(self):
+        heat = np.full((8, 8), 0.5, np.float32)
+        labels = np.zeros((8, 8), np.float32)
+        labels[2, 2] = 1.0
+        p, r = precision_recall(heat, labels)
+        assert r == 1.0 and p == pytest.approx(1 / 64)
