@@ -68,7 +68,7 @@ def export_detector_homoAdapt(config: dict, exper_name: str) -> None:
         patch_size=int(sub.get("patch_size", 5)),
     )
     exper = ExperimentPaths(exper_name)
-    out_dir = exper.predictions / split
+    out_dir = exper.predictions / type(dataset).split_dir(split)
     from ssp.parallel import make_mesh
 
     mesh = make_mesh()
@@ -137,7 +137,7 @@ def export_sequence(config: dict, exper_name: str) -> None:
         patch_size=int(sub.get("patch_size", 5)),
     )
     exper = ExperimentPaths(exper_name)
-    out_root = exper.predictions / split
+    out_root = exper.predictions / type(dataset).split_dir(split)
     n = 0
     for img_name, img in dataset.images():
         out_file = out_root / f"{img_name}.npz"
