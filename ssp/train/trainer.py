@@ -210,6 +210,13 @@ class TrainAgent:
         # high-latency links; semantics identical, metrics = last step)
         self.steps_per_dispatch = max(int(self.config.get("steps_per_dispatch", 1)), 1)
         if self.steps_per_dispatch > 1:
+            # n_iter advances by r·k per dispatch — align intervals so
+            # save/validate/log points are never skipped
+            stride = self.r * self.steps_per_dispatch
+            for k in ("validation_interval", "tensorboard_interval", "save_interval"):
+                v = int(self.config[k])
+                self.config[k] = max(((v + stride - 1) // stride) * stride, stride)
+        if self.steps_per_dispatch > 1:
             prep = self._prep_train
             base_step = self.train_step
 
