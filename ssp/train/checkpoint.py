@@ -32,7 +32,9 @@ def _state_payload(state) -> Dict[str, Any]:
 def save_checkpoint(ckpt_dir: Path, state, step: int) -> Path:
     path = (Path(ckpt_dir) / f"superPointNet_{step}").absolute()
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, _state_payload(jax.device_get(state)))
+        # force: a resumed run re-hits its own save points (e.g. the
+        # checkpoint it was restored from) — overwrite, don't crash
+        ckptr.save(path, _state_payload(jax.device_get(state)), force=True)
     return path
 
 
