@@ -38,7 +38,7 @@ CSV_FIELDS = (
 
 def sweep(config: dict, exper_name: str) -> Path:
     from ssp.export.descriptors_export import (
-        make_detect_describe_fn,
+        make_detect_describe_var_fn,
         run_descriptor_export,
     )
 
@@ -58,6 +58,16 @@ def sweep(config: dict, exper_name: str) -> Path:
     model = build_model(m["name"], **dict(m.get("params") or {}))
     base_state = create_train_state(model, jax.random.key(0), (1, *size, 1))
 
+    sub = m.get("subpixel", {})
+    var_fn = make_detect_describe_var_fn(
+        model.apply,
+        top_k=int(m.get("top_k", 1000)),
+        conf_thresh=float(m.get("detection_threshold", 0.015)),
+        nms_radius=int(m.get("nms", 4)),
+        subpixel=bool(sub.get("enable", True)),
+        patch_size=int(sub.get("patch_size", 5)),
+    )
+
     exper = ExperimentPaths(exper_name)
     csv_path = exper.checkpoints / "results.csv"
     csv_path.parent.mkdir(parents=True, exist_ok=True)
@@ -73,15 +83,7 @@ def sweep(config: dict, exper_name: str) -> Path:
             try:
                 state = load_checkpoint(ckpt, base_state, mode="weights")
                 variables = {"params": state.params, "batch_stats": state.batch_stats}
-                sub = m.get("subpixel", {})
-                dd_fn = make_detect_describe_fn(
-                    model.apply, variables,
-                    top_k=int(m.get("top_k", 1000)),
-                    conf_thresh=float(m.get("detection_threshold", 0.015)),
-                    nms_radius=int(m.get("nms", 4)),
-                    subpixel=bool(sub.get("enable", True)),
-                    patch_size=int(sub.get("patch_size", 5)),
-                )
+                dd_fn = lambda img, v=variables: var_fn(v, img)  # noqa: E731
                 out_dir = exper.predictions / f"ckpt_{it}"
                 run_descriptor_export(
                     dd_fn, iter(dataset), out_dir,

@@ -33,9 +33,8 @@ from ssp.postprocess.tracker import PointTracker
 log = logging.getLogger(__name__)
 
 
-def make_detect_describe_fn(
+def make_detect_describe_var_fn(
     apply_fn: Callable,
-    variables: Dict[str, Any],
     *,
     top_k: int = 1000,
     conf_thresh: float = 0.015,
@@ -43,9 +42,12 @@ def make_detect_describe_fn(
     subpixel: bool = True,
     patch_size: int = 5,
 ):
-    """(image [H, W]) → (pts [k, 3], valid [k], desc [k, D]), jitted."""
+    """(variables, image [H, W]) → (pts, valid, desc), jitted.
 
-    def fn(image: jnp.ndarray):
+    Weights are a traced argument, so one compilation serves every
+    checkpoint of a sweep (``ssp/cli/export_eval.py``)."""
+
+    def fn(variables: Dict[str, Any], image: jnp.ndarray):
         out = apply_fn(variables, image[None, ..., None], train=False)
         heat = flatten_detection(out["semi"])[0, ..., 0]
         pts, valid = extract_keypoints(
@@ -57,6 +59,20 @@ def make_detect_describe_fn(
         return pts, valid, desc
 
     return jax.jit(fn)
+
+
+def make_detect_describe_fn(
+    apply_fn: Callable,
+    variables: Dict[str, Any],
+    **kw,
+):
+    """(image [H, W]) → (pts [k, 3], valid [k], desc [k, D]), jitted."""
+    var_fn = make_detect_describe_var_fn(apply_fn, **kw)
+
+    def fn(image: jnp.ndarray):
+        return var_fn(variables, image)
+
+    return fn
 
 
 def run_descriptor_export(
