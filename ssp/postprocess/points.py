@@ -38,7 +38,13 @@ def extract_keypoints(
     mask.  Matches ``getPtsFromHeatmap`` semantics with fixed shapes.
     """
     H, W = heatmap.shape
-    nmsed = simple_nms(heatmap, nms_radius, nms_iterations)
+    if nms_radius > 0 and jax.default_backend() not in ("cpu",):
+        # fused Pallas NMS on accelerators (one HBM pass instead of ten)
+        from ssp.kernels.nms_pallas import nms_pallas
+
+        nmsed = nms_pallas(heatmap, nms_radius, nms_iterations)
+    else:
+        nmsed = simple_nms(heatmap, nms_radius, nms_iterations)
     ys = jnp.arange(H)
     xs = jnp.arange(W)
     border_ok = (
