@@ -159,17 +159,19 @@ def inv_warp_image_twopass(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:
 
     k = _mean_rotation_bucket(Hc)
 
-    def branch(kk):
-        def run(_):
-            Hres = Hc @ _rot_k((4 - kk) % 4)  # Hc ∘ Rk⁻¹
-            mid = _twopass_square(canvas, Hres)
-            # out(p) = mid(Rk·p): with Rk the CCW rotation of normalized
-            # coords, out[i, j] = mid[j, S-1-i] for k=1 — exactly
-            # jnp.rot90(mid, k) on the array axes.
-            return jnp.rot90(mid, k=kk, axes=(0, 1))
+    # Hres = Hc ∘ Rk⁻¹ via a table lookup — no control flow, so under
+    # vmap the *expensive* two-pass below runs exactly once per warp.
+    # (A lax.switch around the whole computation would execute all four
+    # branches under vmap and select — a 4× tax on the resampling.)
+    rk_inv = jnp.stack([_rot_k((4 - kk) % 4) for kk in range(4)])  # [4,3,3]
+    Hres = Hc @ rk_inv[k]
+    mid = _twopass_square(canvas, Hres)
 
-        return run
-
-    out = jax.lax.switch(k, [branch(kk) for kk in range(4)], None)
+    # out(p) = mid(Rk·p): with Rk the CCW rotation of normalized coords,
+    # out[i, j] = mid[j, S-1-i] for k=1 — exactly jnp.rot90(mid, k) on
+    # the array axes.  Only these cheap layout ops are branched.
+    out = jax.lax.switch(
+        k, [lambda m, kk=kk: jnp.rot90(m, k=kk, axes=(0, 1)) for kk in range(4)], mid
+    )
     out = out[:H_px, :W_px]
     return out[..., 0] if squeeze else out
