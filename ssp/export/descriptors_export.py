@@ -48,10 +48,14 @@ def make_detect_describe_var_fn(
     checkpoint of a sweep (``ssp/cli/export_eval.py``)."""
 
     def fn(variables: Dict[str, Any], image: jnp.ndarray):
+        from ssp.postprocess.nms import batched_nms
+
         out = apply_fn(variables, image[None, ..., None], train=False)
         heat = flatten_detection(out["semi"])[0, ..., 0]
+        heat_nms = batched_nms(heat[None], nms_radius)[0]
         pts, valid = extract_keypoints(
-            heat, k=top_k, conf_thresh=conf_thresh, nms_radius=nms_radius
+            heat_nms, k=top_k, conf_thresh=conf_thresh, nms_radius=0,
+            nms_iterations=1,
         )
         if subpixel:
             pts = soft_argmax_refine(heat, pts, patch_size)

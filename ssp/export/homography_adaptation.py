@@ -143,15 +143,22 @@ def make_ha_fn(
             # models/homographies.py:87-99)
             agg = jnp.where(counts >= filter_counts, agg, 0.0)
 
-        def one(a):
+        # suppress on the whole batch (fused Pallas kernel on TPU),
+        # then extract per image with NMS already applied
+        from ssp.postprocess.nms import batched_nms
+
+        agg_nms = batched_nms(agg, nms_radius)
+
+        def one(a_nms, a_raw):
             pts, valid = extract_keypoints(
-                a, k=top_k, conf_thresh=conf_thresh, nms_radius=nms_radius
+                a_nms, k=top_k, conf_thresh=conf_thresh, nms_radius=0,
+                nms_iterations=1,
             )
             if subpixel:
-                pts = soft_argmax_refine(a, pts, patch_size)
+                pts = soft_argmax_refine(a_raw, pts, patch_size)
             return pts, valid
 
-        return jax.vmap(one)(agg)
+        return jax.vmap(one)(agg_nms, agg)
 
     @jax.jit
     def reshape_stage(imgs, masks, Hs_inv):

@@ -37,6 +37,18 @@ def _maxpool_same(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     )
 
 
+def batched_nms(scores: jnp.ndarray, radius: int, iterations: int = 3) -> jnp.ndarray:
+    """[B, H, W] NMS choosing the fused Pallas kernel on accelerators
+    and the XLA reduce_window chain on CPU.  Use this (plus
+    ``extract_keypoints(..., nms_radius=0)``) in batched pipelines —
+    the Pallas kernel handles the batch natively but not under vmap."""
+    if radius > 0 and jax.default_backend() != "cpu":
+        from ssp.kernels.nms_pallas import nms_pallas
+
+        return nms_pallas(scores, radius, iterations)
+    return simple_nms(scores, radius, iterations)
+
+
 @partial(jax.jit, static_argnames=("radius", "iterations"))
 def simple_nms(scores: jnp.ndarray, radius: int, iterations: int = 3) -> jnp.ndarray:
     """Iterative local-max NMS.

@@ -38,13 +38,11 @@ def extract_keypoints(
     mask.  Matches ``getPtsFromHeatmap`` semantics with fixed shapes.
     """
     H, W = heatmap.shape
-    if nms_radius > 0 and jax.default_backend() not in ("cpu",):
-        # fused Pallas NMS on accelerators (one HBM pass instead of ten)
-        from ssp.kernels.nms_pallas import nms_pallas
-
-        nmsed = nms_pallas(heatmap, nms_radius, nms_iterations)
-    else:
-        nmsed = simple_nms(heatmap, nms_radius, nms_iterations)
+    # NB: stays the XLA implementation here because extract_keypoints is
+    # routinely vmapped and the Pallas kernel's HBM input spec doesn't
+    # support vmap-added batch blocking; batched callers pre-suppress
+    # with ssp.postprocess.nms.batched_nms and pass nms_radius=0.
+    nmsed = simple_nms(heatmap, nms_radius, nms_iterations)
     ys = jnp.arange(H)
     xs = jnp.arange(W)
     border_ok = (
