@@ -106,14 +106,16 @@ def nms_pallas(
     halo = ((halo + 7) // 8) * 8  # sublane-align so the shifted core
     ext = TILE + 2 * halo         # read starts on an 8-row boundary
 
-    # pad rows to a TILE multiple (zero rows can't create or suppress
-    # detections for non-negative heatmaps) so big images take the tiled
-    # path
-    H_orig = H
+    # pad rows to a TILE multiple and lanes to 128 (zero rows/columns
+    # can't create or suppress detections for non-negative heatmaps) so
+    # big images take the tiled path and DMA slices stay lane-aligned
+    H_orig, W_orig = H, W
     if H >= ext and H % TILE != 0:
-        pad = TILE - H % TILE
-        scores = jnp.pad(scores, ((0, 0), (0, pad), (0, 0)))
-        H = H + pad
+        scores = jnp.pad(scores, ((0, 0), (0, TILE - H % TILE), (0, 0)))
+        H = scores.shape[1]
+    if H >= ext and W % 128 != 0:
+        scores = jnp.pad(scores, ((0, 0), (0, 0), (0, 128 - W % 128)))
+        W = scores.shape[2]
 
     if H < ext or H % TILE != 0:
         # small or ragged heights: single whole-image block per program
@@ -152,5 +154,5 @@ def nms_pallas(
             ],
             interpret=interpret,
         )(scores)
-    out = out[:, :H_orig]
+    out = out[:, :H_orig, :W_orig]
     return out[0] if squeeze else out

@@ -38,3 +38,11 @@ class TestNMSPallas:
         heat[15, 127] = 0.9  # far corner — wraparound would suppress [0,0]
         out = np.asarray(nms_pallas(jnp.asarray(heat), radius=2, interpret=True))
         assert out[0, 0] == 0.5 and out[15, 127] == 0.9
+
+    def test_non_lane_aligned_width(self):
+        # W=320 (not a multiple of 128) exercises the lane-padding path
+        rng = np.random.default_rng(5)
+        heat = (rng.uniform(size=(2, 256, 320)) ** 4).astype(np.float32)
+        want = np.asarray(simple_nms(jnp.asarray(heat), radius=4, iterations=3))
+        got = np.asarray(nms_pallas(jnp.asarray(heat), radius=4, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-6)
