@@ -55,7 +55,7 @@ def main():
                 "metric": "HA export images/sec/chip (num=100, 240x320)",
                 "value": round(img_per_s, 2),
                 "unit": "images/s",
-                "vs_baseline": round(img_per_s / 1.0, 2),
+                "vs_baseline": round(img_per_s, 2),
             }
         )
     )
