@@ -1,0 +1,52 @@
+"""Evaluation-protocol oracles: matching score and NN mAP on
+constructed cases with known outcomes."""
+
+import numpy as np
+
+from ssp.cli.evaluate import _nn_map, _unwarp_count
+
+
+def _unit_rows(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+class TestUnwarpCount:
+    def test_translation(self):
+        H = np.eye(3)
+        H[0, 2] = 10.0  # image2 = image1 shifted right by 10
+        # image-2 keypoints at x in {5, 15, 60}; unwarp subtracts 10
+        pts2 = np.array([[5.0, 8.0, 1.0], [15.0, 8.0, 1.0], [60.0, 8.0, 1.0]])
+        n = _unwarp_count(pts2, H, (32, 64))
+        assert n == 2  # x=5 unwarps to -5 → outside
+
+
+class TestNNmAP:
+    def _pair(self, n=30, seed=0, good=True):
+        rng = np.random.default_rng(seed)
+        pts1 = np.concatenate(
+            [rng.uniform(5, 55, (n, 2)), rng.uniform(0.5, 1, (n, 1))], axis=1
+        )
+        H = np.eye(3)
+        H[0, 2] = 3.0
+        pts2 = pts1.copy()
+        pts2[:, 0] += 3.0
+        d = _unit_rows(rng.normal(size=(n, 64)))
+        if good:
+            d2 = d  # perfect descriptors → all matches correct
+        else:
+            d2 = d[rng.permutation(n)]  # scrambled → matches are wrong pairs
+        return {
+            "prob": pts1, "warped_prob": pts2,
+            "desc": d.astype(np.float32), "warped_desc": d2.astype(np.float32),
+        }
+
+    def test_perfect_descriptors_high_ap(self):
+        ap = _nn_map(self._pair(good=True))
+        assert ap > 0.95
+
+    def test_empty_inputs(self):
+        data = {
+            "prob": np.zeros((0, 3)), "warped_prob": np.zeros((0, 3)),
+            "desc": np.zeros((0, 64)), "warped_desc": np.zeros((0, 64)),
+        }
+        assert _nn_map(data) == 0.0
