@@ -130,3 +130,34 @@ def test_forward_parity(semantic):
         np.testing.assert_allclose(
             np.asarray(got["sem"]).transpose(0, 3, 1, 2), want["sem"].numpy(), atol=2e-3
         )
+
+
+def test_import_cli_roundtrip(tmp_path):
+    """Torch ckpt → import CLI → orbax checkpoint → load → same outputs."""
+    torch.manual_seed(1)
+    oracle = TorchOracle(semantic=False)
+    oracle.eval()
+
+    ckpt = tmp_path / "ref.pth.tar"
+    torch.save({"model_state_dict": oracle.state_dict(), "n_iter": 123}, ckpt)
+
+    from ssp.cli.import_torch import import_checkpoint
+    from ssp.train.checkpoint import load_checkpoint
+    from ssp.train.state import create_train_state
+
+    out = import_checkpoint(ckpt, tmp_path / "ck", "SuperPointNet_gauss2", 133, (32, 48))
+    assert out.name == "superPointNet_123"
+
+    model = build_model("SuperPointNet_gauss2", dtype=jnp.float32)
+    state = create_train_state(model, jax.random.key(0), (1, 32, 48, 1))
+    state = load_checkpoint(out, state, mode="weights")
+    x = np.random.default_rng(2).uniform(size=(1, 1, 32, 48)).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.tensor(x))
+    got = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["semi"]).transpose(0, 3, 1, 2), want["semi"].numpy(), atol=2e-4
+    )
