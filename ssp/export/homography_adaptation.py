@@ -71,7 +71,7 @@ def make_ha_fn(
     nms_radius: int = 4,
     subpixel: bool = False,
     patch_size: int = 5,
-    chunk: int = 50,
+    chunk: int = 100,
     use_twopass: bool = True,
 ):
     """Build the per-image-group HA callable.
@@ -118,11 +118,14 @@ def make_ha_fn(
         dispatch each, which dominates on high-latency links)."""
         out = apply_fn(variables, imgs[..., None], train=False)
         heat = flatten_detection(out["semi"])[..., 0] * masks
-        # back to the original frame: heat and mask share sampling
-        # coordinates — warp them as two channels in one pass
-        stacked = jnp.stack([heat, masks], axis=-1)
-        back2 = jax.vmap(warp)(stacked, Hs_inv)
-        back, mask_back = back2[..., 0], back2[..., 1]
+        # back to the original frame (heat only — the back-warped mask
+        # has a closed form: mask_back(q) = 1[Hs_inv(q) ∈ bounds], the
+        # same half-plane test as compute_valid_mask, so no resampling)
+        H_img, W_img = heat.shape[-2], heat.shape[-1]
+        back = jax.vmap(lambda h, Hm: warp(h[..., None], Hm)[..., 0])(heat, Hs_inv)
+        mask_back = jax.vmap(
+            lambda Hm: compute_valid_mask((H_img, W_img), Hm, erosion_radius)
+        )(Hs_inv)
         G = total.shape[0]
         total = total + jax.ops.segment_sum(back, g_idx, num_segments=G)
         counts = counts + jax.ops.segment_sum(mask_back, g_idx, num_segments=G)
