@@ -101,12 +101,16 @@ def _save_visuals(path: Path, stem: str, data: Dict[str, np.ndarray]) -> None:
 def evaluate(
     path: Path, do_rep: bool = True, do_homo: bool = True, output_img: bool = False
 ) -> Dict[str, float]:
-    files = sorted(
-        (p for p in Path(path).glob("*.npz") if p.stem.isdigit()),
-        key=lambda p: int(p.stem),
-    )
+    # exported pairs use digit stems (sorted numerically, as the reference
+    # does); any other .npz is still evaluated, appended in name order
+    all_npz = [p for p in Path(path).glob("*.npz") if p.name != "result.npz"]
+    numbered = sorted((p for p in all_npz if p.stem.isdigit()),
+                      key=lambda p: int(p.stem))
+    named = sorted((p for p in all_npz if not p.stem.isdigit()),
+                   key=lambda p: p.name)
+    files = numbered + named
     if not files:
-        raise FileNotFoundError(f"no numbered .npz predictions under {path}")
+        raise FileNotFoundError(f"no .npz predictions under {path}")
     np.random.seed(0)  # reproducibility hook (evaluation.py:104-108)
 
     rep: List[float] = []
@@ -115,9 +119,14 @@ def evaluate(
     mscore: List[float] = []
     maps: List[float] = []
 
+    skipped = 0
     for f in files:
         with np.load(f) as z:
             data = {k: z[k] for k in z.files}
+        if "prob" not in data or "homography" not in data:
+            log.warning("skipping %s: not an exported pair file", f.name)
+            skipped += 1
+            continue
         shape_hw = data["image"].shape[:2]
         H = data["homography"]
         if output_img:
@@ -140,7 +149,7 @@ def evaluate(
             mscore.append(2.0 * res["inliers"].sum() / denom if denom else 0.0)
             maps.append(_nn_map(data))
 
-    summary: Dict[str, float] = {"n_files": len(files)}
+    summary: Dict[str, float] = {"n_files": len(files) - skipped}
     if do_rep:
         summary["repeatability"] = float(np.mean(rep))
         summary["localization_err"] = float(np.mean(loc))

@@ -69,6 +69,11 @@ def export_detector_homoAdapt(config: dict, exper_name: str) -> None:
     )
     exper = ExperimentPaths(exper_name)
     out_dir = exper.predictions / type(dataset).split_dir(split)
+    # audit log, appended across resumed runs (reference export.py:263-275)
+    exper.root.mkdir(parents=True, exist_ok=True)
+    with open(exper.root / "export.txt", "a") as audit:
+        audit.write(f"load model: {config.get('pretrained') or m.get('pretrained')}\n")
+        audit.write(f"homography adaptation: {int(ha_cfg.get('num', 100))}\n")
     from ssp.parallel import make_mesh
 
     mesh = make_mesh()

@@ -133,12 +133,13 @@ def erode_mask(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
     out = mask
     for dy, dx in offsets:
         shifted = jnp.roll(mask, (-int(dy), -int(dx)), axis=(-2, -1))
-        # invalidate wrapped-around regions: treat outside as 0 (eroded)
+        # wrapped-around regions read outside the image: treat as 1
+        # (non-eroding), matching cv2.erode's default border value
         H, W = mask.shape[-2], mask.shape[-1]
         ys = jnp.arange(H) + int(dy)
         xs = jnp.arange(W) + int(dx)
         ok = ((ys >= 0) & (ys < H))[:, None] & ((xs >= 0) & (xs < W))[None, :]
-        shifted = jnp.where(ok, shifted, 0.0)
+        shifted = jnp.where(ok, shifted, 1.0)
         out = jnp.minimum(out, shifted)
     return out
 
@@ -149,12 +150,14 @@ def compute_valid_mask(
     """Mask of pixels that map inside the source image under ``H_inv``.
 
     Reference semantics: warp an all-ones image (nearest) and erode with
-    an ellipse kernel (``utils/utils.py:715-742``).  Computed here in
-    closed form: the valid region is exactly the set of pixels whose
-    normalized coordinates map into [-1, 1]² — four inequality tests —
-    and the erosion of that region is the same test with the bounds
-    pulled in by the erosion radius (converted to normalized units via
-    the local warp scale).  No warp, no gathers, no morphology loop.
+    a cv2 MORPH_ELLIPSE kernel (``utils/utils.py:715-742``).  The warp
+    step is computed in closed form — the valid region is exactly the
+    set of pixels whose normalized coordinates map into [-1, 1]², four
+    inequality tests, no gathers — and the erosion is the exact unrolled
+    ellipse min-filter (``erode_mask``), whose static offset table equals
+    cv2's structuring element and whose border handling (outside = 1)
+    equals cv2.erode's default border.  Agreement with the cv2 oracle is
+    pixel-exact (``tests/test_core_geometry.py``).
 
     Returns [H, W] float.
     """
@@ -162,28 +165,16 @@ def compute_valid_mask(
     grid = _norm_grid(H_px, W_px).reshape(-1, 2)
     src = warp_points(grid, H_inv)  # normalized source coords
 
-    if erosion_radius > 0:
-        # local scale of the map (pixels of source per pixel of dest),
-        # evaluated at the centre — good enough for the small erosion
-        # radii the configs use (2–3 px)
-        c = jnp.zeros((3, 2))
-        c = jnp.stack([jnp.zeros(2), jnp.array([2.0 / (W_px - 1), 0.0]),
-                       jnp.array([0.0, 2.0 / (H_px - 1)])])
-        wc = warp_points(c, H_inv)
-        sx = jnp.linalg.norm(wc[1] - wc[0]) / (2.0 / (W_px - 1))
-        sy = jnp.linalg.norm(wc[2] - wc[0]) / (2.0 / (H_px - 1))
-        margin_x = erosion_radius * sx * 2.0 / (W_px - 1)
-        margin_y = erosion_radius * sy * 2.0 / (H_px - 1)
-    else:
-        margin_x = margin_y = 0.0
-
     # nearest-warp in-bounds test: |coord| <= 1 (+ half-pixel rounding)
     hx = 1.0 / (W_px - 1)
     hy = 1.0 / (H_px - 1)
     ok = (
-        (src[:, 0] >= -1.0 - hx + margin_x)
-        & (src[:, 0] <= 1.0 + hx - margin_x)
-        & (src[:, 1] >= -1.0 - hy + margin_y)
-        & (src[:, 1] <= 1.0 + hy - margin_y)
+        (src[:, 0] >= -1.0 - hx)
+        & (src[:, 0] <= 1.0 + hx)
+        & (src[:, 1] >= -1.0 - hy)
+        & (src[:, 1] <= 1.0 + hy)
     )
-    return ok.reshape(H_px, W_px).astype(jnp.float32)
+    mask = ok.reshape(H_px, W_px).astype(jnp.float32)
+    if erosion_radius > 0:
+        mask = erode_mask(mask, erosion_radius)
+    return mask

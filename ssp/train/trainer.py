@@ -334,7 +334,11 @@ class TrainAgent:
                     )
 
                 if val_int and self.val_loader is not None and self.n_iter % val_int == 0:
-                    self._validate(key)
+                    # dedicated subkey: never reuse the carried key, or the
+                    # first val batch's prep/step keys would equal the next
+                    # training step's (correlated augmentation streams)
+                    key, k_val = jax.random.split(key)
+                    self._validate(k_val)
 
                 if self.n_iter != 0 and self.n_iter % save_int == 0:
                     save_checkpoint(self.exper.checkpoints, self.state, self.n_iter)

@@ -150,6 +150,42 @@ class TestImageWarp:
         assert m1.sum() < m0.sum()
         assert set(np.unique(m1)) <= {0.0, 1.0}
 
+    def test_valid_mask_erosion_matches_cv2_oracle(self):
+        """Pixel-exact agreement with the reference semantics: warp an
+        all-ones image (nearest) by H_inv, erode with cv2 MORPH_ELLIPSE
+        (default border) — utils/utils.py:715-742 — across random
+        strong-perspective homographies and radii."""
+        import cv2
+
+        from ssp.core.homography import sample_homography
+
+        shape = (48, 64)
+        params = dict(
+            perspective_amplitude_x=0.3, perspective_amplitude_y=0.3,
+            scaling_amplitude=0.4, patch_ratio=0.7, allow_artifacts=True,
+        )
+        for seed in range(8):
+            Hm = sample_homography(jax.random.key(seed), shift=-1.0, **params)
+            for radius in (0, 2, 3):
+                got = np.asarray(
+                    compute_valid_mask(shape, Hm, erosion_radius=radius)
+                )
+                ones = jnp.ones((*shape, 1))
+                warped = np.asarray(
+                    inv_warp_image(ones, Hm, mode="nearest")
+                )[..., 0].astype(np.float32)
+                if radius > 0:
+                    k = cv2.getStructuringElement(
+                        cv2.MORPH_ELLIPSE, (radius * 2, radius * 2)
+                    )
+                    warped = cv2.erode(warped, k, iterations=1)
+                mismatch = np.abs(got - warped).sum()
+                # allow a measure-zero boundary disagreement (float
+                # rounding of the in-bounds test vs nearest gather)
+                assert mismatch <= 0.001 * got.size, (
+                    f"seed {seed} radius {radius}: {mismatch} px differ"
+                )
+
 
 class TestGridOps:
     def test_space_depth_roundtrip(self):
