@@ -119,6 +119,7 @@ class TrainAgent:
         self.exper = save_path or ExperimentPaths(exper_name)
         self.exper.dump_config(self.config)
         self._heat_fn = None
+        self._residual_fn = None
         if mesh is None:
             # data-parallel mesh over the largest device count that
             # divides the global batch (batches shard evenly or not at all)
@@ -363,10 +364,54 @@ class TrainAgent:
             metrics = self.eval_step(self.state, batch, k_step)
             for k, v in jax.device_get(metrics).items():
                 agg.setdefault(k, []).append(float(v))
-        logger.log(self.n_iter, {k: float(np.mean(v)) for k, v in agg.items()}, prefix="val_")
+        scalars = {k: float(np.mean(v)) for k, v in agg.items()}
+        if first_batch is not None:
+            err = self._residual_diagnostic(first_batch)
+            if err is not None:
+                scalars["subpix_residual_err"] = err
+        logger.log(self.n_iter, scalars, prefix="val_")
         if first_batch is not None:
             self._log_val_images(logger, first_batch)
         logger.close()
+
+    def _residual_diagnostic(self, batch) -> Optional[float]:
+        """Soft-argmax subpixel offsets at label positions vs the true
+        fractional residuals (reference ``pred_soft_argmax`` diagnostics,
+        ``Train_model_heatmap_all.py:623-675``)."""
+        if "points" not in batch or "points_valid" not in batch:
+            return None
+        try:
+            if self._residual_fn is None:
+                from ssp.core.grid import flatten_detection
+                from ssp.losses.subpixel import subpixel_residual_loss
+
+                apply_fn = self.state.apply_fn
+
+                def residual_fn(params, stats, images, points, points_valid):
+                    out = apply_fn(
+                        {"params": params, "batch_stats": stats}, images,
+                        train=False,
+                    )
+                    heat = flatten_detection(out["semi"])[..., 0]
+
+                    def one(h, p, v):
+                        r = jnp.round(p[:, :2])
+                        return subpixel_residual_loss(h, r, p[:, :2] - r, v)
+
+                    return jnp.mean(
+                        jax.vmap(one)(heat, points, points_valid)
+                    )
+
+                self._residual_fn = jax.jit(residual_fn)
+            return float(
+                self._residual_fn(
+                    self.state.params, self.state.batch_stats,
+                    batch["image"], batch["points"], batch["points_valid"],
+                )
+            )
+        except Exception:  # diagnostics must never kill training
+            log.exception("residual diagnostic failed")
+            return None
 
     def _log_val_images(self, logger: MetricsLogger, batch) -> None:
         """Heatmap / label overlays for the first val image (reference

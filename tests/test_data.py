@@ -115,6 +115,78 @@ class TestPrepareBatch:
                     yi, xi = int(round(y)), int(round(x))
                     assert wl[b, max(yi-1,0):yi+2, max(xi-1,0):xi+2].max() == 1.0
 
+    def test_pair_built_from_clean_content(self, monkeypatch):
+        """The warped pair must warp the *un-augmented* image and apply
+        photometric independently (reference 'warp original image',
+        datasets/Coco.py:396-404) — not re-warp the augmented base."""
+        import ssp.data.pipeline as pl
+        from ssp.core.warp import inv_warp_image
+
+        # marker augmentation: one flat +0.25.  If the pair were built
+        # from the augmented base, the warped image would carry +0.5 in
+        # the interior (base marker warped in + its own marker).
+        def marker_photo(key, imgs, primitives=None, params=None):
+            return imgs + 0.25
+
+        monkeypatch.setattr(pl, "photometric_augment", marker_photo)
+        rng = np.random.default_rng(1)
+        B, H, W = 1, 48, 64
+        images = jnp.asarray(rng.uniform(0.0, 0.5, (B, H, W)).astype(np.float32))
+        pts = jnp.asarray(rng.uniform(10, 40, (B, 4, 2)).astype(np.float32))
+        valid = jnp.ones((B, 4), bool)
+        batch = pl.prepare_batch(
+            jax.random.key(5), images, pts, valid,
+            photometric={"enable": True},
+            warped_pair={"enable": True,
+                         "params": {"allow_artifacts": False, "patch_ratio": 0.8}},
+        )
+        # base image carries exactly one marker
+        np.testing.assert_allclose(
+            np.asarray(batch["image"][..., 0]), np.asarray(images) + 0.25,
+            atol=1e-6,
+        )
+        # pair = warp(clean) + one marker
+        expected = np.asarray(
+            inv_warp_image(images[0][..., None], batch["H_pair_inv"][0])
+        )[..., 0] + 0.25
+        got = np.asarray(batch["warped_image"][0, ..., 0])
+        interior = np.asarray(batch["warped_valid_mask"][0]) > 0
+        # erode the comparison region: warp interpolation at the border
+        interior[:2] = interior[-2:] = False
+        interior[:, :2] = interior[:, -2:] = False
+        np.testing.assert_allclose(got[interior], expected[interior], atol=1e-3)
+
+    def test_residual_maps(self):
+        """labels_res / warped_res carry the fractional offsets the
+        reference keeps (datasets/data_tools.py:58-60)."""
+        from ssp.data.pipeline import splat_residuals
+
+        pts = jnp.array([[3.4, 5.6], [10.0, 2.25]])
+        valid = jnp.array([True, True])
+        res = np.asarray(splat_residuals(pts, valid, (16, 16)))
+        # round(3.4)=3, round(5.6)=6 → residual (0.4, -0.4)
+        np.testing.assert_allclose(res[6, 3], [3.4 - 3.0, 5.6 - 6.0], atol=1e-5)
+        np.testing.assert_allclose(res[2, 10], [0.0, 0.25], atol=1e-5)
+        assert np.abs(res).max() <= 0.5 + 1e-6
+
+        rng = np.random.default_rng(2)
+        B, H, W = 1, 48, 64
+        images = jnp.asarray(rng.uniform(size=(B, H, W)).astype(np.float32))
+        p = jnp.asarray(rng.uniform(10, 40, (B, 6, 2)).astype(np.float32))
+        v = jnp.ones((B, 6), bool)
+        batch = prepare_batch(
+            jax.random.key(1), images, p, v,
+            warped_pair={"enable": True, "params": {"allow_artifacts": False}},
+        )
+        assert batch["labels_res"].shape == (B, H, W, 2)
+        assert batch["warped_res"].shape == (B, H, W, 2)
+        # warped points are almost surely fractional → nonzero residuals
+        assert np.abs(np.asarray(batch["warped_res"])).sum() > 0
+        # residual positions coincide with label positions
+        lbl = np.asarray(batch["warped_labels_2d"][0, ..., 0])
+        wres = np.abs(np.asarray(batch["warped_res"][0])).sum(-1)
+        assert (wres[lbl == 0] == 0).all()
+
     def test_semantic_warp_ignore(self):
         B, H, W = 1, 32, 32
         images = jnp.ones((B, H, W)) * 0.5

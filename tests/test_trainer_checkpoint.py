@@ -83,6 +83,10 @@ class TestTrainerSmoke:
         agent.train()
         assert latest_checkpoint(exper.checkpoints) is not None
         assert (exper.root / "metrics_train.jsonl").read_text().strip()
+        # validation ran and logged the soft-argmax residual diagnostic
+        # (reference pred_soft_argmax, Train_model_heatmap_all.py:623-675)
+        val_log = (exper.root / "metrics_val.jsonl").read_text()
+        assert "val_subpix_residual_err" in val_log
 
 
 class TestReaders:
