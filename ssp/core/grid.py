@@ -65,7 +65,14 @@ def flatten_detection(semi: jnp.ndarray) -> jnp.ndarray:
 
     softmax over the 65 channels, drop the dustbin, depth-to-space.
     Reference ``flattenDetection`` (``utils/utils.py:515-560``).
+
+    A 64-channel no-dustbin head is passed through depth-to-space raw —
+    no softmax — matching the reference's ``flatten_64to1``
+    (``Train_model_heatmap_all.py:678-690``, dispatched on channel count
+    at ``Val_model_heatmap.py:135-139``).
     """
+    if semi.shape[-1] == CELL * CELL:  # 64-ch no-dustbin head
+        return depth_to_space(semi, CELL)
     dense = jax.nn.softmax(semi, axis=-1)
     nodust = dense[..., :-1]
     return depth_to_space(nodust, CELL)

@@ -102,4 +102,17 @@ def load_torch_checkpoint(path: str):
             {k: v.numpy() for k, v in payload["model_state_dict"].items()},
             int(payload.get("n_iter", 0)),
         )
+    if isinstance(payload, dict) and any(
+        k.startswith("model_") and isinstance(payload[k], dict) for k in payload
+    ):
+        # Sener split-model format: {model_enc, model_semi, model_desc,
+        # model_sem} submodule state dicts whose layer names match the
+        # joint model's (reference models/senner_models.py:109-123, used
+        # as load fallback at Train_model_frontend_all.py:243-255) —
+        # merge them into one flat state dict.
+        merged: Dict[str, Any] = {}
+        for k, sub in payload.items():
+            if k.startswith("model_") and isinstance(sub, dict):
+                merged.update({n: v.numpy() for n, v in sub.items()})
+        return merged, int(payload.get("n_iter", 0))
     return ({k: v.numpy() for k, v in payload.items()}, 0)

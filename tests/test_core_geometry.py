@@ -188,6 +188,19 @@ class TestImageWarp:
 
 
 class TestGridOps:
+    def test_flatten_detection_64ch_no_dustbin(self):
+        """A 64-channel head goes through depth-to-space raw, no softmax
+        (reference flatten_64to1 dispatch, Val_model_heatmap.py:135-139)."""
+        from ssp.core.grid import depth_to_space, flatten_detection
+
+        rng = np.random.default_rng(7)
+        semi = jnp.asarray(rng.normal(size=(1, 3, 4, 64)).astype(np.float32))
+        out = flatten_detection(semi)
+        assert out.shape == (1, 24, 32, 1)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(depth_to_space(semi, 8))
+        )
+
     def test_space_depth_roundtrip(self):
         rng = np.random.default_rng(4)
         x = jnp.asarray(rng.uniform(size=(2, 16, 24, 3)).astype(np.float32))

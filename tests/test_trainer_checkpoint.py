@@ -117,6 +117,40 @@ class TestReaders:
         )
         assert len(ds_nolabel) == 3
 
+    def test_coco_sem_builtin_mapping(self, tmp_path):
+        """Without a panoptic json, Coco_sem must use the built-in
+        133-class table (never raw category ids — the reference ships the
+        table in utils/coco_labels.py:1-160)."""
+        from ssp.data.coco import CocoSemDataset
+        from ssp.data.coco_labels import builtin_mapping
+
+        # table semantics: sorted-rank of the 133 panoptic ids
+        table = builtin_mapping()
+        assert table[0] == 133 and table[1] == 0 and table[12] == 133
+        assert table[13] == 11 and table[200] == 132 and table[255] == 133
+        assert (table <= 133).all()
+        assert sorted(t for t in table if t != 133) == list(range(133))
+
+        img_dir = tmp_path / "COCO" / "train2017"
+        img_dir.mkdir(parents=True)
+        sem_dir = tmp_path / "ann" / "semantic_train2017"
+        sem_dir.mkdir(parents=True)
+        rng = np.random.default_rng(2)
+        cv2.imwrite(str(img_dir / "000000000001.jpg"),
+                    rng.uniform(0, 255, (60, 90)).astype(np.uint8))
+        raw = np.zeros((60, 90), np.uint8)
+        raw[:20] = 1     # person → train id 0
+        raw[20:40] = 12  # not a panoptic id → ignore 133
+        raw[40:] = 200   # rug-merged → train id 132
+        cv2.imwrite(str(sem_dir / "000000000001.png"), raw)
+        ds = CocoSemDataset(
+            task="train", root=tmp_path / "COCO",
+            sem_labels=tmp_path / "ann", preprocessing={"resize": [48, 64]},
+        )
+        sem = ds[0]["sem"]
+        assert set(np.unique(sem)) == {0, 132, 133}
+        assert sem.max() <= 133
+
     def test_kitti_reader(self, tmp_path):
         from ssp.data.kitti import KittiDataset
 

@@ -161,3 +161,40 @@ def test_import_cli_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got["semi"]).transpose(0, 3, 1, 2), want["semi"].numpy(), atol=2e-4
     )
+
+
+def test_sener_split_checkpoint_import(tmp_path):
+    """Sener split-model format: {model_enc, model_semi, model_desc,
+    model_sem} submodule state dicts (reference senner_models.py:109-123,
+    load fallback Train_model_frontend_all.py:243-255) must merge and
+    import identically to the joint state dict."""
+    torch.manual_seed(2)
+    oracle = TorchOracle(semantic=True)
+    oracle.eval()
+    sd = oracle.state_dict()
+
+    def sub(prefixes):
+        return {k: v.clone() for k, v in sd.items()
+                if k.split(".")[0] in prefixes}
+
+    payload = {
+        "model_enc": sub({"inc", "down1", "down2", "down3"}),
+        "model_semi": sub({"convPa", "bnPa", "convPb", "bnPb"}),
+        "model_desc": sub({"convDa", "bnDa", "convDb", "bnDb"}),
+        "model_sem": sub({"convDS", "bnS1", "convSout"}),
+        "n_iter": 7,
+    }
+    ckpt = tmp_path / "sener.pth.tar"
+    torch.save(payload, ckpt)
+
+    from ssp.models.weights import load_torch_checkpoint
+
+    merged, n_iter = load_torch_checkpoint(ckpt)
+    assert n_iter == 7
+    assert set(merged) == set(sd.keys())
+    p1, s1 = import_torch_gauss2(merged)
+    p2, s2 = import_torch_gauss2({k: v.numpy() for k, v in sd.items()})
+    flat1 = jax.tree_util.tree_leaves(p1) + jax.tree_util.tree_leaves(s1)
+    flat2 = jax.tree_util.tree_leaves(p2) + jax.tree_util.tree_leaves(s2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(a, b)
