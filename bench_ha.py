@@ -5,9 +5,15 @@ batched forward → inverse warp → aggregate → NMS → top-k) at the
 reference's export settings (240×320, num=100 —
 ``configs/magicpoint_coco_export.yaml``).
 
-Baseline context: the reference runs 100 warp-forwards per image at
-batch 1 through DataParallel plus CPU-side warps (``export.py:192-352``)
-— single-GPU rates reported around ~1 image/s.  Prints one JSON line.
+Baseline derivation (BASELINE.md): the published SuperPoint rate is
+70 FPS @ 480×640 on a Titan X (arXiv:1712.07629).  One HA image costs
+100 forwards @ 240×320 = 25 forward-equivalents of 480×640 pixels, so
+the forward-bound reference HA rate is 70/25 = **2.8 img/s**, before
+its per-sample CPU costs (100 grid_sample warps + mask erosion in
+DataLoader workers, numpy NMS — ``export.py:192-352``,
+``datasets/Coco.py:258-291``) which dominate at batch 1 in practice.
+vs_baseline divides by the 2.8 img/s forward bound (conservative:
+the real reference is slower).
 """
 
 import json
@@ -20,6 +26,11 @@ import numpy as np
 NUM_H = 100
 H, W = 240, 320
 GROUP = 8  # images per call
+
+# forward-bound reference HA rate derived from the published 70 FPS
+# @ 480x640 (arXiv:1712.07629): 100 warps @ 240x320 per image = 25
+# forward-equivalents -> 2.8 img/s (see module docstring / BASELINE.md)
+REFERENCE_HA_IMG_PER_S = 2.8
 
 
 def main():
@@ -55,7 +66,7 @@ def main():
                 "metric": "HA export images/sec/chip (num=100, 240x320)",
                 "value": round(img_per_s, 2),
                 "unit": "images/s",
-                "vs_baseline": round(img_per_s, 2),
+                "vs_baseline": round(img_per_s / REFERENCE_HA_IMG_PER_S, 3),
             }
         )
     )

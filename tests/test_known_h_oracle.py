@@ -1,0 +1,130 @@
+"""Known-H oracle for the export→evaluate chain (the ε=1 investigation).
+
+Round-1 sweeps showed correctness_1 ≈ 0.0–0.04 on the synthetic corpus
+(VERDICT weak #6).  Root cause, established here: the chain is
+*unbiased* — with exact keypoints the recovered homography's corner
+error is ~1e-6 px — and the floor is a property of the round-1 eval
+corpus: scenes with only ~8 detectable corners and rotations up to
+±135° (descriptors are not rotation invariant).  RANSAC from ~8
+matches with ~0.5 px detector noise lands above 1 px corner error with
+high probability; with ≥30 corners the same pipeline clears ε=1 at 0.8
+(see test_trained_checkpoint_on_rich_scenes).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ssp.evaluations.descriptor import compute_homography
+
+H_IMG, W_IMG = 240, 320
+CKPT = "/root/repo/logs/superpoint_synth/checkpoints/superPointNet_96000"
+
+
+def _mild_H(rng):
+    th = np.radians(rng.uniform(-8, 8))
+    s = rng.uniform(0.92, 1.1)
+    tx, ty = rng.uniform(-15, 15, 2)
+    Hp = np.array([
+        [s * np.cos(th), -s * np.sin(th), tx],
+        [s * np.sin(th), s * np.cos(th), ty],
+        [rng.uniform(-5e-5, 5e-5), rng.uniform(-5e-5, 5e-5), 1.0],
+    ])
+    return Hp
+
+
+class TestEvalChainUnbiased:
+    def test_exact_inputs_recover_h(self):
+        """Ideal detector + descriptors, non-identity H: corner error of
+        the recovered homography must be numerically zero — any
+        coordinate-convention bug in match/RANSAC/correctness would
+        surface here."""
+        rng = np.random.default_rng(0)
+        for seed in range(4):
+            Hp = _mild_H(np.random.default_rng(seed))
+            kp1 = rng.uniform([10, 10], [W_IMG - 10, H_IMG - 10], (200, 2))
+            h = np.concatenate([kp1, np.ones((200, 1))], 1) @ Hp.T
+            kp2 = h[:, :2] / h[:, 2:]
+            ok = (
+                (kp2[:, 0] >= 0) & (kp2[:, 0] < W_IMG)
+                & (kp2[:, 1] >= 0) & (kp2[:, 1] < H_IMG)
+            )
+            kp1, kp2 = kp1[ok], kp2[ok]
+            desc = rng.normal(size=(len(kp1), 64)).astype(np.float32)
+            desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+            r = compute_homography(kp1, desc, kp2, desc, Hp, (H_IMG, W_IMG))
+            assert r["mean_dist"] < 1e-3
+
+    def test_eps1_needs_many_keypoints(self):
+        """The statistical root cause of the round-1 ε=1 floor: at ~8
+        keypoints with 0.5 px noise RANSAC rarely clears 1 px corner
+        error; at 200 keypoints it reliably does."""
+        rng = np.random.default_rng(1)
+        Hp = _mild_H(np.random.default_rng(42))
+
+        def trial(n_kp, trials=8):
+            hits = 0
+            for _ in range(trials):
+                kp1 = rng.uniform([10, 10], [W_IMG - 10, H_IMG - 10], (n_kp, 2))
+                h = np.concatenate([kp1, np.ones((n_kp, 1))], 1) @ Hp.T
+                kp2 = h[:, :2] / h[:, 2:] + rng.normal(0, 0.5, (n_kp, 2))
+                desc = rng.normal(size=(n_kp, 64)).astype(np.float32)
+                desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+                r = compute_homography(kp1, desc, kp2, desc, Hp, (H_IMG, W_IMG))
+                hits += r["mean_dist"] <= 1.0
+            return hits / trials
+
+        assert trial(200) >= 0.75
+        assert trial(8) <= 0.5
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path(CKPT).exists(),
+    reason="round-1 trained checkpoint not present (logs/ is untracked)",
+)
+class TestTrainedCheckpointOracle:
+    def test_trained_checkpoint_on_rich_scenes(self):
+        """Full chain — trained detector, exact warp, export-path
+        detect/describe, eval protocol — on corner-rich scenes with mild
+        homographies must clear correctness_1 ≥ 0.5 (measured 0.8)."""
+        from ssp.core.warp import inv_warp_image
+        from ssp.data.synthetic_shapes import generate_sample
+        from ssp.export.descriptors_export import make_detect_describe_fn
+        from ssp.models import build_model
+        from ssp.train.checkpoint import load_checkpoint
+        from ssp.train.state import create_train_state
+
+        model = build_model("SuperPointNet_gauss2", dtype=jnp.float32)
+        state = create_train_state(model, jax.random.key(0), (1, H_IMG, W_IMG, 1))
+        state = load_checkpoint(CKPT, state, mode="weights")
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        dd = make_detect_describe_fn(
+            model.apply, variables, top_k=1000, conf_thresh=0.015,
+            nms_radius=4, subpixel=True, patch_size=5,
+        )
+        S = np.array([
+            [(W_IMG - 1) / 2, 0, (W_IMG - 1) / 2],
+            [0, (H_IMG - 1) / 2, (H_IMG - 1) / 2],
+            [0, 0, 1.0],
+        ])
+        rng = np.random.default_rng(0)
+        md = []
+        for i in range(6):
+            im1, _ = generate_sample(
+                "draw_checkerboard", size=(H_IMG, W_IMG), seed=100 + i
+            )
+            Hp = _mild_H(rng)
+            Hn_inv = np.linalg.inv(S) @ np.linalg.inv(Hp) @ S
+            im2 = np.asarray(
+                inv_warp_image(jnp.asarray(im1)[..., None], jnp.asarray(Hn_inv))
+            )[..., 0]
+            p1, v1, d1 = jax.device_get(dd(jnp.asarray(im1)))
+            p2, v2, d2 = jax.device_get(dd(jnp.asarray(im2)))
+            r = compute_homography(
+                p1[v1], d1[v1], p2[v2], d2[v2], Hp, (H_IMG, W_IMG)
+            )
+            md.append(r["mean_dist"])
+        md = np.array(md)
+        assert (md <= 1.0).mean() >= 0.5, md
+        assert (md <= 3.0).mean() >= 0.8, md
