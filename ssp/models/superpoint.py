@@ -16,9 +16,18 @@ TPU-first choices:
     statistics stay float32.  XLA fuses conv+BN+ReLU chains.
   * Heads run on the shared 1/8-res feature map; the whole forward is
     one fused graph under jit — no Python branching on data.
-  * BatchNorm statistics are per-device by default (matching the
-    reference's single-GPU batches); pass ``bn_cross_replica=True`` to
-    sync over the mesh's data axis instead.
+  * BatchNorm under the jit/pjit train step computes batch statistics
+    over the **global** batch regardless of sharding — the reduction
+    over the batch axis is partitioned by GSPMD, which inserts the
+    cross-device collective (verified: sharded vs unsharded stats agree
+    to fp noise, ``tests/test_multichip.py``).  With the shipped
+    configs (real_batch_size 16) this is exactly the reference's
+    batch-16 BN.  ``bn_cross_replica``/``mesh_data_axis`` bind an
+    explicit ``axis_name`` and matter only if the step is ever run
+    under ``shard_map``/``pmap`` (where reductions are per-device by
+    default); leave False under jit.  The reference's *micro-batch* BN
+    (gradient accumulation) is reproduced by the trainer's
+    ``exact_accumulation`` mode instead.
 """
 
 from __future__ import annotations

@@ -179,3 +179,64 @@ def make_train_step(
         jax.jit(train_step, donate_argnums=donate_args),
         jax.jit(eval_step),
     )
+
+
+def make_accum_train_step(
+    r: int,
+    *,
+    donate: bool = True,
+    **kwargs,
+):
+    """Reference-exact gradient accumulation: the global batch [r·b, ...]
+    is split into r micro-batches, gradients of the per-micro-batch
+    losses are **summed** (the reference calls ``loss.backward()`` per
+    micro-batch and steps once — ``Train_model_heatmap_all.py:406-413``
+    — so the effective gradient is the sum, not the mean), BatchNorm
+    statistics chain through the micro-batches (each forward sees batch
+    b, as the reference's does), and one optimizer update is applied.
+
+    The default global-batch step differs in exactly two documented
+    ways: BN statistics see the full batch, and per-batch loss
+    normalizations (mask sums, the dense loss's Σvalid+1) are computed
+    over B instead of b.  This mode restores the reference semantics
+    when bit-level training parity matters.
+
+    Returns a jitted (state, batch, key) → (state, metrics) with metrics
+    averaged over the micro-batches.
+    """
+    kwargs.setdefault("multi_task", True)
+
+    def train_step(state: TrainState, batch, key):
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((r, x.shape[0] // r) + x.shape[1:]), batch
+        )
+        keys = jax.random.split(key, r)
+
+        def body(carry, inp):
+            stats, gsum_p, gsum_e = carry
+            k, mb = inp
+
+            def loss_fn(trainables):
+                return compute_losses(
+                    state.replace(batch_stats=stats), mb, k,
+                    trainables["params"], trainables["etas"],
+                    train=True, **kwargs,
+                )
+
+            grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+                {"params": state.params, "etas": state.etas}
+            )
+            gsum_p = jax.tree_util.tree_map(jnp.add, gsum_p, grads["params"])
+            gsum_e = gsum_e + grads["etas"]
+            return (new_stats, gsum_p, gsum_e), metrics
+
+        zeros_p = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        zeros_e = jnp.zeros_like(state.etas)
+        (stats, gsum_p, gsum_e), metrics = jax.lax.scan(
+            body, (state.batch_stats, zeros_p, zeros_e), (keys, micro)
+        )
+        new_state = state.apply_gradients(gsum_p, gsum_e, stats)
+        return new_state, jax.tree_util.tree_map(lambda m: jnp.mean(m), metrics)
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_args)

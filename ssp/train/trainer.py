@@ -175,7 +175,7 @@ class TrainAgent:
                 "method": p.get("method", "2d"),
             }
 
-        self.train_step, self.eval_step = make_train_step(
+        step_kwargs = dict(
             semantic=self.semantic,
             warped_pair=self.warped_pair,
             det_loss_type=m.get("detector_loss", {}).get("loss_type", "softmax"),
@@ -185,6 +185,15 @@ class TrainAgent:
             multi_task=bool(m.get("multi_task_loss", False)),
             ignore_class=int(data.get("ignore_class", 133)),
         )
+        self.train_step, self.eval_step = make_train_step(**step_kwargs)
+        # reference-exact micro-batch gradient accumulation (summed
+        # grads, per-micro BN) — optional; the default is the real
+        # global batch (documented deviation, SURVEY §2.7)
+        if bool(m.get("exact_accumulation", False)) and self.r > 1:
+            from ssp.train.step import make_accum_train_step
+
+            self.train_step = make_accum_train_step(self.r, **step_kwargs)
+            log.info("exact gradient accumulation: r=%d micro-batches", self.r)
 
         aug = data.get("augmentation", {})
         gl = data.get("gaussian_label", {})

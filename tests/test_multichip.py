@@ -76,6 +76,35 @@ class TestShardedHAExport:
             np.testing.assert_allclose(ka[:, 2], kb[:, 2], atol=1e-5)
 
 
+class TestBatchNormSharding:
+    def test_bn_stats_are_global_batch_under_sharding(self):
+        """Under jit, BN batch statistics reduce over the GLOBAL batch —
+        GSPMD partitions the mean/var reduction and inserts the
+        collective — so sharding is semantics-neutral and the shipped
+        configs reproduce the reference's batch-16 BN exactly (SURVEY §7
+        open decision, resolved)."""
+        from ssp.parallel import shard_batch
+
+        model = build_model("SuperPointNet_gauss2", dtype=jnp.float32)
+        x = jnp.asarray(
+            np.random.default_rng(0).uniform(size=(8, 32, 32, 1)).astype(np.float32)
+        )
+        variables = model.init(jax.random.key(0), x[:1], train=True)
+
+        @jax.jit
+        def stats_of(v, xx):
+            _, mut = model.apply(v, xx, train=True, mutable=["batch_stats"])
+            return mut["batch_stats"]
+
+        plain = stats_of(variables, x)
+        mesh = make_mesh()
+        with mesh:
+            sharded = stats_of(variables, shard_batch(x, mesh))
+        for a, b in zip(jax.tree_util.tree_leaves(plain),
+                        jax.tree_util.tree_leaves(sharded)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 class TestShardedTrainer:
     def test_multistep_sharded_full_mesh(self, tmp_path):
         """steps_per_dispatch stacking + axis-1 sharding over all 8
