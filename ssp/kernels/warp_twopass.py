@@ -40,12 +40,28 @@ def _rot_k(k: int) -> jnp.ndarray:
     return jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
 
 
+def _use_pallas() -> bool:
+    """Pallas resample on accelerators; the XLA einsum on CPU (where
+    Mosaic is unavailable outside interpret mode)."""
+    return jax.default_backend() not in ("cpu",)
+
+
 def _vresample(img: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
     """out[o, x] = img(rows[o, x], x), bilinear along axis 0, zero pad.
 
-    img: [S, S(, C)]; rows: [S, S] in pixel units.  Implemented as a
-    fused one-hot reduction over the source-row axis — no gathers.
+    img: [S, S(, C)]; rows: [S, S] in pixel units.  On TPU this routes
+    to the Pallas on-the-fly-weights kernel
+    (``ssp.kernels.vresample_pallas``) — the XLA one-hot einsum below
+    materializes an [S, S, S] weight tensor and is HBM-bound.
     """
+    if _use_pallas():
+        from ssp.kernels.vresample_pallas import vresample_pallas
+
+        if img.ndim == 2:
+            return vresample_pallas(img, rows)
+        return jnp.moveaxis(
+            jax.vmap(vresample_pallas, in_axes=(2, None))(img, rows), 0, -1
+        )
     S = img.shape[0]
     y0 = jnp.floor(rows)
     fy = rows - y0
@@ -67,6 +83,17 @@ def _vresample(img: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
 
 def _hresample(img: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
     """out[y, o] = img(y, cols[y, o]), bilinear along axis 1, zero pad."""
+    if _use_pallas():
+        from ssp.kernels.vresample_pallas import vresample_pallas
+
+        # horizontal = vertical under transposition (layout ops are
+        # cheap next to the resample)
+        if img.ndim == 2:
+            return vresample_pallas(img.T, cols.T).T
+        return jnp.moveaxis(
+            jax.vmap(lambda im: vresample_pallas(im.T, cols.T).T, in_axes=2)(img),
+            0, -1,
+        )
     S = img.shape[1]
     x0 = jnp.floor(cols)
     fx = cols - x0

@@ -75,3 +75,38 @@ class TestTwoPassWarp:
         got = np.asarray(inv_warp_image_twopass(jnp.asarray(img), jnp.asarray(Hm)))
         assert got.shape == want.shape
         assert np.abs(got - want)[4:-4, 4:-4].mean() < 0.01
+
+
+class TestVresamplePallas:
+    def test_matches_hat_reference_interpret(self):
+        """Interpret-mode kernel vs a direct fp32 hat-weight reference:
+        out[o,x] = sum_i max(0, 1-|rows[o,x]-i|) . img[i,x]."""
+        from ssp.kernels.vresample_pallas import vresample_pallas
+
+        rng = np.random.default_rng(0)
+        S = 32
+        img = rng.uniform(size=(S, S)).astype(np.float32)
+        rows = rng.uniform(-2, S + 1, size=(S, S)).astype(np.float32)
+        got = np.asarray(
+            vresample_pallas(jnp.asarray(img), jnp.asarray(rows), interpret=True)
+        )
+        ii = np.arange(S)[:, None, None]
+        w = np.maximum(0.0, 1.0 - np.abs(rows[None] - ii))
+        want = np.einsum("iox,ix->ox", w, img)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_vmap_adds_batch(self):
+        from ssp.kernels.vresample_pallas import vresample_pallas
+
+        rng = np.random.default_rng(1)
+        S, N = 16, 3
+        imgs = rng.uniform(size=(N, S, S)).astype(np.float32)
+        rows = rng.uniform(0, S - 1, size=(N, S, S)).astype(np.float32)
+        got = np.asarray(jax.vmap(
+            lambda a, b: vresample_pallas(a, b, interpret=True)
+        )(jnp.asarray(imgs), jnp.asarray(rows)))
+        for n in range(N):
+            one = np.asarray(vresample_pallas(
+                jnp.asarray(imgs[n]), jnp.asarray(rows[n]), interpret=True
+            ))
+            np.testing.assert_allclose(got[n], one, atol=1e-6)
