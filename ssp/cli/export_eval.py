@@ -35,6 +35,38 @@ CSV_FIELDS = (
     + ["nn_map", "matching_score"]
 )
 
+# the reference's exact header (export_eval.py:710-719) — written as a
+# second file so tooling built against the reference's results.csv
+# (e.g. its plotting notebooks) consumes ssp sweeps unchanged
+REF_CSV_FIELDS = [
+    "path",
+    "repeatability threshold",
+    "repeatability",
+    "localization error",
+    "homography threshold",
+    "Average correctness",
+    "nn mean AP",
+    "matching score",
+]
+REP_THRESH = 3  # reference rep_thd (export_eval.py:96)
+
+
+def reference_row(ckpt_path: str, summary: dict) -> dict:
+    """One ``results.csv`` row in the reference's schema
+    (``export_eval.py:345-355``): correctness over the ε sweep is a
+    stringified array, scalars stringified as the reference does."""
+    correctness = [summary.get(f"correctness_{e}", 0.0) for e in HOMOGRAPHY_THRESH]
+    return {
+        "path": ckpt_path,
+        "repeatability threshold": str(REP_THRESH),
+        "repeatability": summary.get("repeatability", 0.0),
+        "localization error": summary.get("localization_err", 0.0),
+        "homography threshold": str(list(HOMOGRAPHY_THRESH)),
+        "Average correctness": str(correctness),
+        "nn mean AP": str(summary.get("nn_map", 0.0)),
+        "matching score": str(summary.get("matching_score", 0.0)),
+    }
+
 
 def sweep(config: dict, exper_name: str) -> Path:
     from ssp.export.descriptors_export import (
@@ -70,16 +102,23 @@ def sweep(config: dict, exper_name: str) -> Path:
 
     exper = ExperimentPaths(exper_name)
     csv_path = exper.checkpoints / "results.csv"
+    ref_csv_path = exper.checkpoints / "results_ref.csv"
     csv_path.parent.mkdir(parents=True, exist_ok=True)
     write_header = not csv_path.exists()
-    with open(csv_path, "a", newline="") as f:
+    write_ref_header = not ref_csv_path.exists()
+    with open(csv_path, "a", newline="") as f, \
+            open(ref_csv_path, "a", newline="") as rf:
         writer = csv.DictWriter(f, fieldnames=CSV_FIELDS)
+        ref_writer = csv.DictWriter(rf, fieldnames=REF_CSV_FIELDS)
         if write_header:
             writer.writeheader()
+        if write_ref_header:
+            ref_writer.writeheader()
         for ckpt in ckpts:
             it = int(ckpt.name.split("_")[-1])
             row = {k: 0.0 for k in CSV_FIELDS}
             row["iter"] = it
+            summary: dict = {}
             try:
                 state = load_checkpoint(ckpt, base_state, mode="weights")
                 variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -95,7 +134,9 @@ def sweep(config: dict, exper_name: str) -> Path:
             except Exception as e:  # noqa: BLE001 — sweep must continue
                 log.exception("checkpoint %s failed: %s", ckpt, e)
             writer.writerow(row)
+            ref_writer.writerow(reference_row(str(ckpt), summary))
             f.flush()
+            rf.flush()
             log.info("ckpt %d: %s", it, {k: round(v, 4) for k, v in row.items()})
     return csv_path
 

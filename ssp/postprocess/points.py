@@ -80,6 +80,38 @@ def sample_descriptors(
     return desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-12)
 
 
+def sample_descriptors_mxu(
+    coarse_desc: jnp.ndarray, pts: jnp.ndarray, cell: int = 8
+) -> jnp.ndarray:
+    """``sample_descriptors`` restructured for the MXU.
+
+    Bilinear interpolation is a 4-gather per point; TPU gathers run at
+    ~100 M samples/s, which makes descriptor sampling the single largest
+    post-processing cost at export batch sizes.  The same interpolation
+    is the matmul ``W @ desc`` with separable hat weights
+    ``w[k, (i,j)] = hat(cy_k − i) · hat(cx_k − j)`` — dense [K, Hc·Wc]
+    rows with four nonzeros.  At K = 1000, Hc·Wc = 4800 the matmul is
+    2.5 GFLOP/image of pure MXU work and beats the gathers on v5e.
+
+    Zero-padding edge behaviour matches ``bilinear_sample`` exactly
+    (hat weights vanish outside the grid).  bf16 operands, fp32
+    accumulation; same coordinate mapping as ``sample_descriptors``.
+    """
+    Hc, Wc, D = coarse_desc.shape
+    H, W = Hc * cell, Wc * cell
+    cx = pts[:, 0] * (Wc - 1) / W
+    cy = pts[:, 1] * (Hc - 1) / H
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(cx[:, None] - jnp.arange(Wc)[None, :]))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(cy[:, None] - jnp.arange(Hc)[None, :]))
+    w = (wy[:, :, None] * wx[:, None, :]).reshape(pts.shape[0], Hc * Wc)
+    desc = jnp.dot(
+        w.astype(jnp.bfloat16),
+        coarse_desc.reshape(Hc * Wc, D).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-12)
+
+
 def _extract_patches(heatmap: jnp.ndarray, pts: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     """Zero-padded ``patch_size``² windows centred at integer pts [K, 2]."""
     pad = patch_size // 2

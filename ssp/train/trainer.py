@@ -423,11 +423,14 @@ class TrainAgent:
             return None
 
     def _log_val_images(self, logger: MetricsLogger, batch) -> None:
-        """Heatmap / label overlays for the first val image (reference
-        TensorBoard image logging, ``Train_model_frontend_all.py:535-566``)."""
+        """Heatmap / label / NMS overlays and the warped-pair panel for
+        the first val image (reference TensorBoard image logging,
+        ``Train_model_frontend_all.py:535-566``: label overlay, NMS
+        detection overlay, and the warped view)."""
         try:
             from ssp.core.grid import flatten_detection
-            from ssp.utils.draw import img_overlap
+            from ssp.postprocess.points import extract_keypoints
+            from ssp.utils.draw import draw_keypoints, img_overlap
 
             if self._heat_fn is None:
                 apply_fn = self.state.apply_fn
@@ -439,13 +442,31 @@ class TrainAgent:
                     return flatten_detection(out["semi"])
 
                 self._heat_fn = jax.jit(heat_fn)
-            heat = jax.device_get(
-                self._heat_fn(self.state.params, self.state.batch_stats,
-                              batch["image"][:1])
-            )[0, ..., 0]
-            img = np.asarray(jax.device_get(batch["image"][0, ..., 0]))
-            labels = np.asarray(jax.device_get(batch["labels_2d"][0, ..., 0]))
-            logger.log_image(self.n_iter, "val/heatmap_overlay",
-                             img_overlap(heat / max(heat.max(), 1e-6), labels, img))
+            det_thresh = float(
+                self.config["model"].get("detection_threshold", 0.015)
+            )
+            nms_rad = int(self.config["model"].get("nms", 4))
+
+            def panels(img_dev, labels_dev, tag):
+                heat = jax.device_get(
+                    self._heat_fn(self.state.params, self.state.batch_stats,
+                                  img_dev[:1])
+                )[0, ..., 0]
+                img = np.asarray(jax.device_get(img_dev[0, ..., 0]))
+                labels = np.asarray(jax.device_get(labels_dev[0, ..., 0]))
+                logger.log_image(self.n_iter, f"val/{tag}_heatmap_overlay",
+                                 img_overlap(heat / max(heat.max(), 1e-6),
+                                             labels, img))
+                pts, valid = extract_keypoints(
+                    jnp.asarray(heat), k=300, conf_thresh=det_thresh,
+                    nms_radius=nms_rad,
+                )
+                pts = np.asarray(jax.device_get(pts))[np.asarray(valid)]
+                logger.log_image(self.n_iter, f"val/{tag}_nms_detections",
+                                 draw_keypoints(img, pts))
+
+            panels(batch["image"], batch["labels_2d"], "base")
+            if "warped_image" in batch:
+                panels(batch["warped_image"], batch["warped_labels_2d"], "warped")
         except Exception:  # visualization must never kill training
             log.exception("val image logging failed")

@@ -113,3 +113,27 @@ class TestRepeatabilityProtocol:
         r = compute_repeatability(pts1, pts2, H, (64, 64))
         assert r["repeatability"] == 1.0
         assert r["localization_err"] == pytest.approx(0.0, abs=1e-5)
+
+
+class TestReferenceCSVRow:
+    def test_schema_matches_reference(self):
+        """results_ref.csv rows carry the reference's exact header and
+        stringified formats (export_eval.py:345-355, 710-719)."""
+        from ssp.cli.export_eval import REF_CSV_FIELDS, reference_row
+        from ssp.cli.evaluate import HOMOGRAPHY_THRESH
+
+        summary = {
+            "repeatability": 0.6, "localization_err": 1.0,
+            "nn_map": 0.86, "matching_score": 0.52,
+            **{f"correctness_{e}": 0.1 * i
+               for i, e in enumerate(HOMOGRAPHY_THRESH)},
+        }
+        row = reference_row("ckpts/superPointNet_170000", summary)
+        assert list(row) == REF_CSV_FIELDS
+        assert row["path"] == "ckpts/superPointNet_170000"
+        assert row["repeatability"] == 0.6
+        # stringified exactly as the reference writes them
+        assert row["homography threshold"] == str(list(HOMOGRAPHY_THRESH))
+        assert row["nn mean AP"] == "0.86"
+        corr = eval(row["Average correctness"])
+        assert len(corr) == len(HOMOGRAPHY_THRESH)

@@ -1,6 +1,7 @@
 """Pallas kernels vs XLA references (interpret mode on CPU)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ssp.kernels.nms_pallas import nms_pallas
@@ -46,3 +47,76 @@ class TestNMSPallas:
         want = np.asarray(simple_nms(jnp.asarray(heat), radius=4, iterations=3))
         got = np.asarray(nms_pallas(jnp.asarray(heat), radius=4, interpret=True))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestStemPallas:
+    """Fused conv1a+BN+relu+conv1b+BN+relu stem kernel vs the XLA path."""
+
+    def _setup(self, B=2, H=32, W=128, seed=0):
+        from ssp.kernels.stem_pallas import fold_bn
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(0, 0.3, (3, 3, 1, 64)).astype(np.float32))
+        w2 = jnp.asarray(rng.normal(0, 0.1, (3, 3, 64, 64)).astype(np.float32))
+        g1, b1 = jnp.abs(jnp.asarray(rng.normal(1, 0.2, (64,)), jnp.float32)), jnp.asarray(rng.normal(0, 0.2, (64,)), jnp.float32)
+        m1, v1 = jnp.asarray(rng.normal(0, 0.2, (64,)), jnp.float32), jnp.abs(jnp.asarray(rng.normal(1, 0.2, (64,)), jnp.float32)) + 0.1
+        g2, b2 = jnp.abs(jnp.asarray(rng.normal(1, 0.2, (64,)), jnp.float32)), jnp.asarray(rng.normal(0, 0.2, (64,)), jnp.float32)
+        m2, v2 = jnp.asarray(rng.normal(0, 0.2, (64,)), jnp.float32), jnp.abs(jnp.asarray(rng.normal(1, 0.2, (64,)), jnp.float32)) + 0.1
+        s1, sb1 = fold_bn(g1, b1, m1, v1)
+        s2, sb2 = fold_bn(g2, b2, m2, v2)
+        return x, w1, s1, sb1, w2, s2, sb2
+
+    @staticmethod
+    def _xla_ref(x, w1, s1, sb1, w2, s2, sb2):
+        def conv(xx, w):
+            return jax.lax.conv_general_dilated(
+                xx, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+
+        o1 = jnp.maximum(conv(x.astype(jnp.bfloat16).astype(jnp.float32), w1) * s1 + sb1, 0)
+        o1 = o1.astype(jnp.bfloat16).astype(jnp.float32)
+        return jnp.maximum(conv(o1, w2) * s2 + sb2, 0)
+
+    def test_parity_vs_xla(self):
+        from ssp.kernels.stem_pallas import stem_pallas
+
+        args = self._setup()
+        got = np.asarray(stem_pallas(*args, interpret=True), np.float32)
+        want = np.asarray(self._xla_ref(*args), np.float32)
+        np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+
+    def test_borders_are_same_padding(self):
+        """Zero 'SAME' padding at all four edges — partial border sums in
+        the intermediate activation would show up here."""
+        from ssp.kernels.stem_pallas import stem_pallas
+
+        args = self._setup(B=1, H=16, W=128, seed=3)
+        got = np.asarray(stem_pallas(*args, interpret=True), np.float32)
+        want = np.asarray(self._xla_ref(*args), np.float32)
+        edges = np.concatenate([
+            got[0, :2].ravel(), got[0, -2:].ravel(),
+            got[0, :, :2].ravel(), got[0, :, -2:].ravel(),
+        ])
+        edges_want = np.concatenate([
+            want[0, :2].ravel(), want[0, -2:].ravel(),
+            want[0, :, :2].ravel(), want[0, :, -2:].ravel(),
+        ])
+        np.testing.assert_allclose(edges, edges_want, atol=0.05, rtol=0.05)
+
+
+class TestSampleDescriptorsMXU:
+    def test_matches_gather_sampler(self):
+        from ssp.postprocess.points import sample_descriptors, sample_descriptors_mxu
+
+        rng = np.random.default_rng(0)
+        coarse = jnp.asarray(rng.normal(size=(6, 8, 32)).astype(np.float32))
+        pts = jnp.asarray(
+            np.stack([rng.uniform(-2, 66, 50), rng.uniform(-2, 50, 50),
+                      rng.uniform(0, 1, 50)], axis=1).astype(np.float32)
+        )
+        want = np.asarray(sample_descriptors(coarse, pts), np.float32)
+        got = np.asarray(sample_descriptors_mxu(coarse, pts), np.float32)
+        # bf16 matmul operands: compare directions
+        cos = (want * got).sum(-1)
+        assert cos.min() > 0.999, cos.min()
