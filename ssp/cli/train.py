@@ -39,9 +39,16 @@ def train_joint(
     val_set = make_dataset(config, "val")
     bs = int(config["model"].get("real_batch_size", config["model"]["batch_size"]))
     seed = int(config.get("seed", 0))
-    agent.train_loader = Prefetcher(train_set.batches(bs, shuffle=True, seed=seed))
+    # decode thread pools, same config keys as the reference's torch
+    # DataLoader workers (configs/*: training.workers_train)
+    training_cfg = config.get("training") or {}
+    agent.train_loader = Prefetcher(train_set.batches(
+        bs, shuffle=True, seed=seed,
+        workers=int(training_cfg.get("workers_train", 4)),
+    ))
     agent.val_loader = val_set.batches(
-        int(config["model"].get("eval_batch_size", bs)), shuffle=False, seed=seed
+        int(config["model"].get("eval_batch_size", bs)), shuffle=False, seed=seed,
+        workers=int(training_cfg.get("workers_val", 2)),
     )
     if eval_only:
         # validation-only pass (reference train4.py --eval flag)

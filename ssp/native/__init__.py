@@ -21,26 +21,33 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 _SRC = Path(__file__).parent / "ops.cpp"
+_IMAGEIO_SRC = Path(__file__).parent / "imageio.cpp"
 _BUILD_DIR = Path(__file__).parent / "_build"
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_IMAGEIO: Optional[ctypes.CDLL] = None
+_IMAGEIO_TRIED = False
 
 
-def _compile() -> Optional[Path]:
+def _compile_so(src: Path, name: str, extra: tuple = ()) -> Optional[Path]:
     _BUILD_DIR.mkdir(exist_ok=True)
-    so = _BUILD_DIR / "libssp_native.so"
-    if so.exists() and so.stat().st_mtime >= _SRC.stat().st_mtime:
+    so = _BUILD_DIR / name
+    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
         return so
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        str(_SRC), "-o", str(so),
+        str(src), "-o", str(so), *extra,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return so
-    except Exception as e:  # noqa: BLE001 — fall back to numpy paths
-        log.warning("native build failed (%s); using numpy fallbacks", e)
+    except Exception as e:  # noqa: BLE001 — fall back to python paths
+        log.warning("native build failed (%s); using fallbacks", e)
         return None
+
+
+def _compile() -> Optional[Path]:
+    return _compile_so(_SRC, "libssp_native.so")
 
 
 def _lib() -> Optional[ctypes.CDLL]:
@@ -65,6 +72,51 @@ def _lib() -> Optional[ctypes.CDLL]:
             ]
             _LIB = lib
     return _LIB
+
+
+def _imageio_lib() -> Optional[ctypes.CDLL]:
+    """libjpeg/libpng decode + INTER_AREA resize (``imageio.cpp``)."""
+    global _IMAGEIO, _IMAGEIO_TRIED
+    if _IMAGEIO is None and not _IMAGEIO_TRIED:
+        _IMAGEIO_TRIED = True
+        so = _compile_so(
+            _IMAGEIO_SRC, "libssp_imageio.so", ("-ljpeg", "-lpng")
+        )
+        if so is not None:
+            lib = ctypes.CDLL(str(so))
+            f32p = ctypes.POINTER(ctypes.c_float)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.ssp_decode_gray_resize.restype = ctypes.c_int
+            lib.ssp_decode_gray_resize.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, f32p,
+            ]
+            lib.ssp_image_size.restype = ctypes.c_int
+            lib.ssp_image_size.argtypes = [ctypes.c_char_p, i32p, i32p]
+            _IMAGEIO = lib
+    return _IMAGEIO
+
+
+def decode_gray_resize(path, resize=None) -> Optional[np.ndarray]:
+    """Native JPEG/PNG → grayscale float32 [0, 1], INTER_AREA-resized to
+    (H, W) when ``resize`` is given.  Returns None when the native
+    library is unavailable or the format unsupported (caller falls back
+    to cv2).  The ctypes call releases the GIL for decode+resize, so a
+    thread pool scales this across cores (``ssp.data.prefetch``).
+    """
+    lib = _imageio_lib()
+    if lib is None:
+        return None
+    path_b = str(path).encode()
+    if resize is None:
+        h, w = ctypes.c_int32(0), ctypes.c_int32(0)
+        if lib.ssp_image_size(path_b, ctypes.byref(h), ctypes.byref(w)) != 0:
+            return None
+        out_h, out_w = h.value, w.value
+    else:
+        out_h, out_w = int(resize[0]), int(resize[1])
+    out = np.empty((out_h, out_w), np.float32)
+    rc = lib.ssp_decode_gray_resize(path_b, out_h, out_w, _f32p(out))
+    return out if rc == 0 else None
 
 
 def _f32p(a: np.ndarray):

@@ -61,3 +61,79 @@ class TestNativeMatcher:
         np.testing.assert_array_equal(got[0], want[0])
         np.testing.assert_array_equal(got[1], want[1])
         np.testing.assert_allclose(got[2], want[2], atol=1e-5)
+
+
+class TestNativeImageIO:
+    """libjpeg/libpng decode + C++ INTER_AREA resize vs the cv2 path."""
+
+    def _cv2_ref(self, path, resize):
+        import cv2
+
+        img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+        if resize is not None:
+            img = cv2.resize(img, (resize[1], resize[0]),
+                             interpolation=cv2.INTER_AREA)
+        return img.astype(np.float32) / 255.0
+
+    def test_png_parity(self, tmp_path):
+        import cv2
+        from ssp.native import decode_gray_resize
+
+        rng = np.random.default_rng(0)
+        raw = rng.uniform(0, 255, (61, 83)).astype(np.uint8)
+        p = tmp_path / "t.png"
+        cv2.imwrite(str(p), raw)
+        got = decode_gray_resize(p, None)
+        if got is None:
+            pytest.skip("native imageio unavailable")
+        np.testing.assert_allclose(got, raw.astype(np.float32) / 255.0, atol=1e-6)
+        # non-integer-ratio INTER_AREA downscale
+        got_r = decode_gray_resize(p, (24, 32))
+        want_r = self._cv2_ref(p, (24, 32))
+        np.testing.assert_allclose(got_r, want_r, atol=2.5 / 255.0)
+
+    def test_jpeg_parity(self, tmp_path):
+        import cv2
+        from ssp.native import decode_gray_resize
+
+        rng = np.random.default_rng(1)
+        raw = cv2.GaussianBlur(
+            rng.uniform(0, 255, (60, 90)).astype(np.uint8), (5, 5), 0
+        )
+        p = tmp_path / "t.jpg"
+        cv2.imwrite(str(p), raw)
+        got = decode_gray_resize(p, (48, 64))
+        if got is None:
+            pytest.skip("native imageio unavailable")
+        want = self._cv2_ref(p, (48, 64))
+        # decoders may differ by a few ulp of the IDCT; resize smooths it
+        assert np.abs(got - want).max() < 4.0 / 255.0
+        assert np.abs(got - want).mean() < 1.0 / 255.0
+
+    def test_read_gray_native_route_matches(self, tmp_path, monkeypatch):
+        import cv2
+        from ssp.data.base import read_gray
+
+        rng = np.random.default_rng(2)
+        raw = rng.uniform(0, 255, (40, 50)).astype(np.uint8)
+        p = tmp_path / "x.png"
+        cv2.imwrite(str(p), raw)
+        cv2_path = read_gray(p, (32, 40))
+        monkeypatch.setenv("SSP_NATIVE_IO", "1")
+        native = read_gray(p, (32, 40))
+        np.testing.assert_allclose(native, cv2_path, atol=2.5 / 255.0)
+
+
+class TestWorkerPoolBatches:
+    def test_workers_preserve_order(self, tmp_path):
+        from ssp.data.synthetic_dataset import SyntheticShapesDataset
+
+        ds = SyntheticShapesDataset(
+            task="train", primitives=["draw_polygon"],
+            generation={"split_sizes": {"training": 8}},
+            cache_dir=tmp_path / "synth", preprocessing={"resize": [32, 48]},
+        )
+        b0 = next(ds.batches(4, seed=3, workers=0))
+        b4 = next(ds.batches(4, seed=3, workers=4))
+        for k in b0:
+            np.testing.assert_array_equal(b0[k], b4[k])
