@@ -30,5 +30,6 @@ from ssp.data import coco as _coco  # noqa: F401, E402
 from ssp.data import hpatches as _hpatches  # noqa: F401, E402
 from ssp.data import kitti as _kitti  # noqa: F401, E402
 from ssp.data import synthetic_dataset as _synth  # noqa: F401, E402
+from ssp.train import subpixel_agent as _subpixel_agent  # noqa: F401, E402
 from ssp.train import trainer as _trainer  # noqa: F401, E402
 from ssp.train import val_agent as _val_agent  # noqa: F401, E402

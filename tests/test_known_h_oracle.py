@@ -19,7 +19,25 @@ import pytest
 from ssp.evaluations.descriptor import compute_homography
 
 H_IMG, W_IMG = 240, 320
-CKPT = "/root/repo/logs/superpoint_synth/checkpoints/superPointNet_96000"
+
+
+def _latest_ckpt():
+    """Newest superpoint_synth checkpoint, if a training has produced
+    one (logs/ is untracked; the joint-training config that produces it
+    is configs/superpoint_synth_joint.yaml)."""
+    from pathlib import Path
+
+    d = Path("/root/repo/logs/superpoint_synth/checkpoints")
+    if not d.is_dir():
+        return None
+    ckpts = sorted(
+        (p for p in d.glob("superPointNet_*") if p.name.split("_")[-1].isdigit()),
+        key=lambda p: int(p.name.split("_")[-1]),
+    )
+    return ckpts[-1] if ckpts else None
+
+
+CKPT = _latest_ckpt()
 
 
 def _mild_H(rng):
@@ -80,7 +98,7 @@ class TestEvalChainUnbiased:
 
 
 @pytest.mark.skipif(
-    not __import__("pathlib").Path(CKPT).exists(),
+    CKPT is None,
     reason="round-1 trained checkpoint not present (logs/ is untracked)",
 )
 class TestTrainedCheckpointOracle:
