@@ -5,3 +5,4 @@ protocol and must match the reference's arithmetic
 
 from ssp.evaluations.detector import compute_repeatability  # noqa: F401
 from ssp.evaluations.descriptor import compute_homography  # noqa: F401
+from ssp.evaluations.semantic import evaluate_semantic  # noqa: F401

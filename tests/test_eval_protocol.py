@@ -2,6 +2,7 @@
 constructed cases with known outcomes."""
 
 import numpy as np
+import pytest
 
 from ssp.cli.evaluate import _nn_map, _unwarp_count
 
@@ -50,3 +51,44 @@ class TestNNmAP:
             "desc": np.zeros((0, 64)), "warped_desc": np.zeros((0, 64)),
         }
         assert _nn_map(data) == 0.0
+
+
+class TestSemanticMetrics:
+    def test_perfect_prediction(self):
+        from ssp.evaluations.semantic import evaluate_semantic
+
+        target = np.array([[0, 1], [2, 133]])
+        m = evaluate_semantic(target.copy(), target, n_classes=4)
+        assert m["pixel_accuracy"] == 1.0
+        assert m["mean_iou"] == 1.0
+
+    def test_known_confusion(self):
+        """Hand-computed 2-class case: class 0 half right, class 1 all
+        right; ignore pixels excluded entirely."""
+        from ssp.evaluations.semantic import evaluate_semantic
+
+        target = np.array([0, 0, 1, 1, 133, 133])
+        pred = np.array([0, 1, 1, 1, 0, 1])
+        m = evaluate_semantic(pred, target, n_classes=2)
+        assert m["pixel_accuracy"] == pytest.approx(3 / 4)
+        # IoU: class0 = 1/2 (tp1, fn1, fp0), class1 = 2/3 (tp2, fp1)
+        assert m["mean_iou"] == pytest.approx((1 / 2 + 2 / 3) / 2)
+        assert m["mean_class_accuracy"] == pytest.approx((1 / 2 + 1) / 2)
+
+    def test_logits_argmax_path(self):
+        from ssp.evaluations.semantic import evaluate_semantic
+
+        target = np.array([[0, 1]])
+        logits = np.zeros((1, 2, 3))
+        logits[0, 0, 0] = 5.0
+        logits[0, 1, 1] = 5.0
+        m = evaluate_semantic(logits, target, n_classes=3)
+        assert m["pixel_accuracy"] == 1.0
+
+    def test_absent_classes_dont_dilute(self):
+        from ssp.evaluations.semantic import evaluate_semantic
+
+        target = np.array([0, 0])
+        pred = np.array([0, 0])
+        m = evaluate_semantic(pred, target, n_classes=133)
+        assert m["mean_iou"] == 1.0
