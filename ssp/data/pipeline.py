@@ -129,6 +129,15 @@ def _warp_sample(
     pn = _pix_to_norm(points, H_px, W_px)
     wn = jax.vmap(warp_points)(pn, H_fwd)
     wpts = _norm_to_pix(wn, H_px, W_px)
+    # points warped out of frame stop being labels (the splats drop them
+    # anyway; validity must agree so e.g. residual diagnostics don't
+    # read patches at clipped positions — reference filter_points,
+    # datasets/data_tools.py:47-52)
+    points_valid = (
+        points_valid
+        & (wpts[..., 0] >= 0) & (wpts[..., 0] <= W_px - 1)
+        & (wpts[..., 1] >= 0) & (wpts[..., 1] <= H_px - 1)
+    )
 
     mask = jax.vmap(
         lambda h: compute_valid_mask((H_px, W_px), h, erosion_radius=erosion)
