@@ -203,3 +203,94 @@ class TestPrepareBatch:
         # valid mask is 0
         mask = np.asarray(batch["warped_valid_mask"][0])
         assert (ws[0][mask == 0] == 133).all()
+
+
+class TestHomographicBranch:
+    def test_labels_follow_warped_image(self):
+        """The magicpoint-config path: homographic augmentation must move
+        image content and labels together (reference
+        SyntheticDataset_gaussian.py:423-476)."""
+        from ssp.core.homography import warp_points
+
+        rng = np.random.default_rng(4)
+        B, H, W = 2, 64, 96
+        images = jnp.asarray(rng.uniform(size=(B, H, W)).astype(np.float32))
+        pts = jnp.asarray(rng.uniform(15, 45, (B, 5, 2)).astype(np.float32))
+        valid = jnp.ones((B, 5), bool)
+        batch = prepare_batch(
+            jax.random.key(11), images, pts, valid,
+            homographic={"enable": True, "valid_border_margin": 2,
+                         "params": {"allow_artifacts": False, "patch_ratio": 0.7}},
+        )
+        # returned points are the warped ones; labels must splat there
+        lbl = np.asarray(batch["labels_2d"][..., 0])
+        p = np.asarray(batch["points"])
+        v = np.asarray(batch["points_valid"])
+        for b in range(B):
+            for (x, y), ok in zip(p[b], v[b]):
+                if ok and 1 <= x < W - 1 and 1 <= y < H - 1:
+                    yi, xi = int(round(y)), int(round(x))
+                    assert lbl[b, yi, xi] == 1.0
+        # valid mask shrinks from the border margin, never empty
+        m = np.asarray(batch["valid_mask"])
+        assert 0 < m.mean() <= 1.0
+        # out-of-frame warped points are invalidated
+        pts_far = jnp.asarray(rng.uniform(0, 3, (B, 5, 2)).astype(np.float32))
+        b2 = prepare_batch(
+            jax.random.key(12), images, pts_far, valid,
+            homographic={"enable": True,
+                         "params": {"allow_artifacts": True,
+                                    "translation_overflow": 0.3}},
+        )
+        p2, v2 = np.asarray(b2["points"]), np.asarray(b2["points_valid"])
+        oob = (p2[..., 0] < 0) | (p2[..., 0] > W - 1) | (p2[..., 1] < 0) | (p2[..., 1] > H - 1)
+        assert not (oob & v2).any()
+
+
+class TestPhotometricDistributions:
+    def test_brightness_bounded(self):
+        from ssp.data.photometric import random_brightness
+
+        imgs = jnp.full((8, 16, 16), 0.5)
+        out = np.asarray(random_brightness(jax.random.key(0), imgs, max_abs_change=50))
+        deltas = out.reshape(8, -1) - 0.5
+        # per-image constant shift within ±50/255
+        assert np.allclose(deltas.std(axis=1), 0, atol=1e-6)
+        assert np.abs(deltas).max() <= 50 / 255 + 1e-6
+        assert np.abs(deltas.mean(axis=1)).max() > 0.01  # actually random
+
+    def test_contrast_scales_around_mean(self):
+        from ssp.data.photometric import random_contrast
+
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.uniform(0.3, 0.7, (4, 16, 16)).astype(np.float32))
+        out = np.asarray(random_contrast(jax.random.key(1), imgs,
+                                         strength_range=(0.5, 1.5)))
+        means = np.asarray(imgs).mean(axis=(1, 2))
+        np.testing.assert_allclose(out.mean(axis=(1, 2)), means, atol=1e-3)
+
+    def test_speckle_sets_extremes(self):
+        from ssp.data.photometric import additive_speckle_noise
+
+        imgs = jnp.full((2, 64, 64), 0.5)
+        out = np.asarray(additive_speckle_noise(
+            jax.random.key(2), imgs, prob_range=(0.05, 0.05)))
+        frac_extreme = ((out == 0) | (out == 1)).mean()
+        assert 0.05 < frac_extreme < 0.15  # ≈ 2 × 5%
+
+
+class TestTruncate:
+    def test_truncate_fraction(self, tmp_path):
+        full = SyntheticShapesDataset(
+            task="train", primitives=["draw_polygon"],
+            generation={"split_sizes": {"training": 10}},
+            cache_dir=tmp_path, preprocessing={"resize": [32, 48]},
+        )
+        half = SyntheticShapesDataset(
+            task="train", primitives=["draw_polygon"],
+            truncate={"draw_polygon": 0.5},
+            generation={"split_sizes": {"training": 10}},
+            cache_dir=tmp_path, preprocessing={"resize": [32, 48]},
+        )
+        assert len(full) == 10 and len(half) == 5
+        np.testing.assert_array_equal(half._images, full._images[:5])
