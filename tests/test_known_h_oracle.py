@@ -22,19 +22,21 @@ H_IMG, W_IMG = 240, 320
 
 
 def _latest_ckpt():
-    """Newest superpoint_synth checkpoint, if a training has produced
-    one (logs/ is untracked; the joint-training config that produces it
-    is configs/superpoint_synth_joint.yaml)."""
+    """Newest superpoint_synth checkpoint from logs/ (untracked, present
+    after running configs/superpoint_synth_joint.yaml), falling back to
+    the tracked round-2 evidence checkpoint."""
     from pathlib import Path
 
     d = Path("/root/repo/logs/superpoint_synth/checkpoints")
-    if not d.is_dir():
-        return None
-    ckpts = sorted(
-        (p for p in d.glob("superPointNet_*") if p.name.split("_")[-1].isdigit()),
-        key=lambda p: int(p.name.split("_")[-1]),
-    )
-    return ckpts[-1] if ckpts else None
+    if d.is_dir():
+        ckpts = sorted(
+            (p for p in d.glob("superPointNet_*") if p.name.split("_")[-1].isdigit()),
+            key=lambda p: int(p.name.split("_")[-1]),
+        )
+        if ckpts:
+            return ckpts[-1]
+    tracked = Path("/root/repo/evidence/superPointNet_30000")
+    return tracked if tracked.is_dir() else None
 
 
 CKPT = _latest_ckpt()
