@@ -1,5 +1,9 @@
 """Fused SuperPoint stem (conv1a → BN → relu → conv1b → BN → relu) as a
-single Pallas kernel — the inference hot spot.
+single Pallas kernel — an **experiment on the inference hot spot, not
+wired into the model**: measured 11.5 ms vs XLA's 7.2 ms at 480×640×16
+on v5e (the layout shuffles outweigh the saved HBM round-trips —
+analysis in PERF.md).  Kept parity-tested as the starting point for a
+future channel-pair-packed layout.
 
 Why: the first DoubleConv runs at 480×640×64 where XLA's conv achieves
 ~37 TF/s on v5e — each layer round-trips a 630 MB (batch 16, bf16)
