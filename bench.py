@@ -47,15 +47,10 @@ def build_pipeline():
     def detect_describe(images):
         out = model.apply(variables, images, train=False)
         heat = flatten_detection(out["semi"])[..., 0]  # [B, H, W]
-        nmsed = nms_pallas(heat, radius=4)  # fused Pallas NMS
-        # border removal + top-k (TPU-optimized approximate top-k;
-        # recall 0.95 over NMS survivors is metric-neutral)
-        ys, xs = jnp.arange(H), jnp.arange(W)
-        ok = (
-            ((ys >= 4) & (ys < H - 4))[:, None]
-            & ((xs >= 4) & (xs < W - 4))[None, :]
-        )
-        nmsed = jnp.where(ok[None], nmsed, 0.0)
+        # fused Pallas NMS + border removal (one kernel, one HBM pass)
+        nmsed = nms_pallas(heat, radius=4, border=4)
+        # top-k (TPU-optimized approximate top-k; recall 0.95 over NMS
+        # survivors is metric-neutral)
         scores, idx = jax.lax.approx_max_k(
             nmsed.reshape(nmsed.shape[0], -1), TOP_K, recall_target=0.95
         )

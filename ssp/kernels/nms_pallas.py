@@ -45,7 +45,13 @@ def _shift_with_pad(x: jnp.ndarray, s: int, axis: int, fill: float) -> jnp.ndarr
 
 
 def _window_max(x: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Separable (2r+1)² window max of a [H, W] block."""
+    """Separable (2r+1)² window max of a [H, W] block.
+
+    (A log₂-step doubling chain was tried and reverted: the linear
+    chain's NEG-padded *partial* windows at image borders need an
+    independent backward pass to reproduce, which costs 7 shift+max
+    passes per axis vs 8 — not worth diverging from the oracle.)
+    """
     row = x
     for s in range(1, radius + 1):
         row = jnp.maximum(row, _shift_with_pad(x, s, 1, NEG))
@@ -68,8 +74,21 @@ def _suppress(scores: jnp.ndarray, radius: int, iterations: int) -> jnp.ndarray:
     return jnp.where(max_mask, scores, zeros)
 
 
+def _border_mask(x: jnp.ndarray, row0, border: int, h_valid: int, w_valid: int):
+    """Zero detections within ``border`` px of the (unpadded) image edge;
+    ``row0`` is the block's absolute first row."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + row0
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    ok = (
+        (rows >= border) & (rows < h_valid - border)
+        & (cols >= border) & (cols < w_valid - border)
+    )
+    return jnp.where(ok, x, jnp.zeros_like(x))
+
+
 def _nms_kernel_tiled(
-    scores_hbm, out_ref, scratch, result_ref, sem, *, radius, iterations, halo, h_img
+    scores_hbm, out_ref, scratch, result_ref, sem, *, radius, iterations, halo,
+    h_img, border, h_valid, w_valid,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -85,19 +104,34 @@ def _nms_kernel_tiled(
     # dynamic-start read through a ref (Mosaic lacks array dynamic_slice);
     # halo and the clip bound are 8-row aligned, so the start is too
     offset = pl.multiple_of(t * TILE - start, 8)
-    out_ref[:] = result_ref[pl.ds(offset, TILE), :]
+    core = result_ref[pl.ds(offset, TILE), :]
+    if border:
+        core = _border_mask(core, t * TILE, border, h_valid, w_valid)
+    out_ref[:] = core
 
 
-def _nms_kernel_whole(scores_ref, out_ref, *, radius, iterations):
-    out_ref[:] = _suppress(scores_ref[:], radius, iterations)
+def _nms_kernel_whole(scores_ref, out_ref, *, radius, iterations, border,
+                      h_valid, w_valid):
+    out = _suppress(scores_ref[:], radius, iterations)
+    if border:
+        out = _border_mask(out, 0, border, h_valid, w_valid)
+    out_ref[:] = out
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "iterations", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("radius", "iterations", "border", "interpret")
+)
 def nms_pallas(
     scores: jnp.ndarray, radius: int = 4, iterations: int = 3,
-    interpret: bool = False,
+    border: int = 0, interpret: bool = False,
 ) -> jnp.ndarray:
-    """scores [B, H, W] (or [H, W]) → suppressed heatmap, same shape."""
+    """scores [B, H, W] (or [H, W]) → suppressed heatmap, same shape.
+
+    ``border > 0`` additionally zeroes detections within ``border``
+    pixels of the image edge inside the kernel (fuses the reference's
+    ``border_remove`` pass, ``model_wrap.py:266-293``, saving a full
+    [B, H, W] HBM round-trip in the detect+describe pipeline).
+    """
     squeeze = scores.ndim == 2
     if squeeze:
         scores = scores[None]
@@ -120,7 +154,8 @@ def nms_pallas(
     if H < ext or H % TILE != 0:
         # small or ragged heights: single whole-image block per program
         kernel = functools.partial(
-            _nms_kernel_whole, radius=radius, iterations=iterations
+            _nms_kernel_whole, radius=radius, iterations=iterations,
+            border=border, h_valid=H_orig, w_valid=W_orig,
         )
         out = pl.pallas_call(
             kernel,
@@ -138,6 +173,7 @@ def nms_pallas(
         kernel = functools.partial(
             _nms_kernel_tiled,
             radius=radius, iterations=iterations, halo=halo, h_img=H,
+            border=border, h_valid=H_orig, w_valid=W_orig,
         )
         out = pl.pallas_call(
             kernel,

@@ -40,6 +40,28 @@ class TestNMSPallas:
         out = np.asarray(nms_pallas(jnp.asarray(heat), radius=2, interpret=True))
         assert out[0, 0] == 0.5 and out[15, 127] == 0.9
 
+    def test_fused_border_whole_path(self):
+        rng = np.random.default_rng(7)
+        heat = (rng.uniform(size=(2, 48, 64)) ** 4).astype(np.float32)
+        want = np.array(simple_nms(jnp.asarray(heat), radius=4, iterations=3))
+        want[:, :4] = 0; want[:, -4:] = 0; want[:, :, :4] = 0; want[:, :, -4:] = 0
+        got = np.asarray(
+            nms_pallas(jnp.asarray(heat), radius=4, border=4, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_fused_border_tiled_path(self):
+        # W=320 forces lane padding: the border mask must clip at the
+        # true width, not the padded one
+        rng = np.random.default_rng(8)
+        heat = (rng.uniform(size=(1, 256, 320)) ** 4).astype(np.float32)
+        want = np.array(simple_nms(jnp.asarray(heat), radius=4, iterations=3))
+        want[:, :4] = 0; want[:, -4:] = 0; want[:, :, :4] = 0; want[:, :, -4:] = 0
+        got = np.asarray(
+            nms_pallas(jnp.asarray(heat), radius=4, border=4, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
     def test_non_lane_aligned_width(self):
         # W=320 (not a multiple of 128) exercises the lane-padding path
         rng = np.random.default_rng(5)
