@@ -52,10 +52,11 @@ def make_detect_describe_var_fn(
 
         out = apply_fn(variables, image[None, ..., None], train=False)
         heat = flatten_detection(out["semi"])[0, ..., 0]
-        heat_nms = batched_nms(heat[None], nms_radius)[0]
+        # border removal is fused into the NMS kernel on accelerators
+        heat_nms = batched_nms(heat[None], nms_radius, border=4)[0]
         pts, valid = extract_keypoints(
             heat_nms, k=top_k, conf_thresh=conf_thresh, nms_radius=0,
-            nms_iterations=1,
+            border=0, nms_iterations=1,
         )
         if subpixel:
             pts = soft_argmax_refine(heat, pts, patch_size)

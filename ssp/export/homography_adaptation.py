@@ -150,12 +150,12 @@ def make_ha_fn(
         # then extract per image with NMS already applied
         from ssp.postprocess.nms import batched_nms
 
-        agg_nms = batched_nms(agg, nms_radius)
+        agg_nms = batched_nms(agg, nms_radius, border=4)
 
         def one(a_nms, a_raw):
             pts, valid = extract_keypoints(
                 a_nms, k=top_k, conf_thresh=conf_thresh, nms_radius=0,
-                nms_iterations=1,
+                border=0, nms_iterations=1,
             )
             if subpixel:
                 pts = soft_argmax_refine(a_raw, pts, patch_size)

@@ -37,16 +37,28 @@ def _maxpool_same(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     )
 
 
-def batched_nms(scores: jnp.ndarray, radius: int, iterations: int = 3) -> jnp.ndarray:
+def batched_nms(
+    scores: jnp.ndarray, radius: int, iterations: int = 3, border: int = 0
+) -> jnp.ndarray:
     """[B, H, W] NMS choosing the fused Pallas kernel on accelerators
     and the XLA reduce_window chain on CPU.  Use this (plus
     ``extract_keypoints(..., nms_radius=0)``) in batched pipelines —
-    the Pallas kernel handles the batch natively but not under vmap."""
+    the Pallas kernel handles the batch natively but not under vmap.
+
+    ``border > 0`` also zeroes detections within ``border`` px of the
+    image edge (the reference's ``border_remove``); fused into the
+    Pallas kernel on accelerators, a masked pass on the CPU path."""
     if radius > 0 and jax.default_backend() != "cpu":
         from ssp.kernels.nms_pallas import nms_pallas
 
-        return nms_pallas(scores, radius, iterations)
-    return simple_nms(scores, radius, iterations)
+        return nms_pallas(scores, radius, iterations, border=border)
+    out = simple_nms(scores, radius, iterations)
+    if border:
+        H, W = out.shape[-2:]
+        ys = (jnp.arange(H) >= border) & (jnp.arange(H) < H - border)
+        xs = (jnp.arange(W) >= border) & (jnp.arange(W) < W - border)
+        out = jnp.where(ys[:, None] & xs[None, :], out, jnp.zeros_like(out))
+    return out
 
 
 @partial(jax.jit, static_argnames=("radius", "iterations"))

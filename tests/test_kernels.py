@@ -62,6 +62,19 @@ class TestNMSPallas:
         )
         np.testing.assert_allclose(got, want, atol=1e-6)
 
+    def test_fused_border_row_padded_tiled_path(self):
+        # H=480 row-pads to 512 inside the kernel (bench.py's exact
+        # configuration): the border mask must zero the padded rows and
+        # clip at the true h_valid=480, not the padded height
+        rng = np.random.default_rng(11)
+        heat = (rng.uniform(size=(1, 480, 256)) ** 4).astype(np.float32)
+        want = np.array(simple_nms(jnp.asarray(heat), radius=4, iterations=3))
+        want[:, :4] = 0; want[:, -4:] = 0; want[:, :, :4] = 0; want[:, :, -4:] = 0
+        got = np.asarray(
+            nms_pallas(jnp.asarray(heat), radius=4, border=4, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
     def test_non_lane_aligned_width(self):
         # W=320 (not a multiple of 128) exercises the lane-padding path
         rng = np.random.default_rng(5)
