@@ -76,7 +76,8 @@ class CocoDataset(ImageDataset):
         valid = np.zeros((self.max_points,), bool)
         if self.labels_dir is not None:
             with np.load(self.labels_dir / f"{stem}.npz") as z:
-                pts = np.asarray(z["pts"], np.float32).reshape(-1, z["pts"].shape[-1])
+                arr = z["pts"]  # bind once: NpzFile decompresses per access
+                pts = np.asarray(arr, np.float32).reshape(-1, arr.shape[-1])
             k = min(len(pts), self.max_points)
             points[:k] = pts[:k, :2]
             valid[:k] = True

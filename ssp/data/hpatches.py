@@ -20,13 +20,16 @@ from ssp.registry import register
 from ssp.utils.experiment import settings_paths
 
 
-def _scale_homography_pixels(H: np.ndarray, shape_from, shape_to) -> np.ndarray:
-    """Conjugate a pixel-coordinate H from ``shape_from`` (H, W) images
-    into ``shape_to`` images: S · H · S⁻¹ with the axis-ratio scaling."""
-    sy = shape_to[0] / shape_from[0]
-    sx = shape_to[1] / shape_from[1]
-    S = np.diag([sx, sy, 1.0])
-    return S @ H @ np.linalg.inv(S)
+def _rescale_homography(
+    H: np.ndarray, raw_ref, new_ref, raw_warp, new_warp
+) -> np.ndarray:
+    """Adapt a pixel-coordinate H (ref → warped) to resized images:
+    S₂ · H · S₁⁻¹, each side scaled by its own image's resize ratio
+    (reference ``_adapt_homography_to_preprocessing``,
+    ``datasets/patches_dataset.py:81-92``)."""
+    s1 = np.diag([new_ref[1] / raw_ref[1], new_ref[0] / raw_ref[0], 1.0])
+    s2 = np.diag([new_warp[1] / raw_warp[1], new_warp[0] / raw_warp[0], 1.0])
+    return s2 @ H @ np.linalg.inv(s1)
 
 
 @register("dataset", "hpatches", "PatchesDataset", "patches_dataset")
@@ -41,6 +44,9 @@ class PatchesDataset(ImageDataset):
     ):
         self.root = Path(root) if root else settings_paths()["DATA_PATH"] / "HPatches"
         self.resize = (preprocessing or {}).get("resize")
+        # raw (H, W) per file, decoded lazily once — __getitem__ needs
+        # it for the homography rescale and must not re-decode per access
+        self._raw_shapes: Dict[Path, tuple] = {}
         self.pairs: List[Dict[str, Any]] = []
         for seq in sorted(p for p in self.root.iterdir() if p.is_dir()):
             if alteration in ("i", "v") and not seq.name.startswith(alteration):
@@ -62,23 +68,26 @@ class PatchesDataset(ImageDataset):
     def __len__(self) -> int:
         return len(self.pairs)
 
-    def __getitem__(self, idx: int) -> Dict[str, Any]:
-        import cv2
+    def _raw_shape(self, path: Path) -> tuple:
+        shape = self._raw_shapes.get(path)
+        if shape is None:
+            import cv2
 
+            shape = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE).shape
+            self._raw_shapes[path] = shape
+        return shape
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
         rec = self.pairs[idx]
         img = read_gray(rec["ref"], self.resize)
         warped = read_gray(rec["warped"], self.resize)
         H = np.loadtxt(rec["H"]).astype(np.float64).reshape(3, 3)
         if self.resize is not None:
-            raw = cv2.imread(str(rec["ref"]), cv2.IMREAD_GRAYSCALE)
-            raw_w = cv2.imread(str(rec["warped"]), cv2.IMREAD_GRAYSCALE)
-            # H maps ref pixels → warped pixels: rescale each side by its
-            # own image's resize ratio
-            sy1 = img.shape[0] / raw.shape[0]
-            sx1 = img.shape[1] / raw.shape[1]
-            sy2 = warped.shape[0] / raw_w.shape[0]
-            sx2 = warped.shape[1] / raw_w.shape[1]
-            H = np.diag([sx2, sy2, 1.0]) @ H @ np.linalg.inv(np.diag([sx1, sy1, 1.0]))
+            H = _rescale_homography(
+                H,
+                self._raw_shape(rec["ref"]), img.shape,
+                self._raw_shape(rec["warped"]), warped.shape,
+            )
         return {
             "image": img,
             "warped_image": warped,

@@ -147,19 +147,21 @@ def additive_shade(
     v = (-s * dx + c * dy) / radii[..., 1, None, None]
     mask = jnp.max((u * u + v * v <= 1.0).astype(jnp.float32), axis=1)  # [B, H, W]
 
+    # per-image kernel size (the reference draws one per call = per
+    # image; a scalar here would share one blur σ across the batch)
     ks = jax.random.uniform(
-        k_ks, (), minval=kernel_size_range[0], maxval=kernel_size_range[1]
+        k_ks, (B, 1), minval=kernel_size_range[0], maxval=kernel_size_range[1]
     )
     # box-blur of size k ≈ Gaussian with σ = k/4 (static kernel extent:
     # σ capped by the range's max so shapes stay fixed under jit)
     sigma_max = kernel_size_range[1] / 4.0
     radius = max(int(math.ceil(2.0 * sigma_max)), 1)
     xk = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    sigma = ks / 4.0
-    k1 = jnp.exp(-0.5 * (xk / sigma) ** 2)
-    k1 = k1 / jnp.sum(k1)
-    kx = jnp.broadcast_to(k1[None, None, :], (B, 1, k1.shape[0]))
-    ky = jnp.broadcast_to(k1[None, :, None], (B, k1.shape[0], 1))
+    sigma = ks / 4.0  # [B, 1]
+    k1 = jnp.exp(-0.5 * (xk[None, :] / sigma) ** 2)  # [B, K]
+    k1 = k1 / jnp.sum(k1, axis=-1, keepdims=True)
+    kx = k1[:, None, :]
+    ky = k1[:, :, None]
     mask = _per_image_conv(_per_image_conv(mask, kx), ky)
     return jnp.clip(imgs * (1.0 - t * mask), 0.0, 1.0)
 

@@ -241,16 +241,12 @@ def prepare_batch(
                 primitives=photometric.get("primitives"),
                 params=photometric.get("params"),
             )
-        wlabels, wres = jax.vmap(
-            lambda p, v: (splat_labels(p, v, shape), splat_residuals(p, v, shape))
-        )(wpts, points_valid)
-        if gaussian_label_sigma:
-            blurred = gaussian_blur(wlabels, float(gaussian_label_sigma))
-            peak = jnp.max(blurred, axis=(1, 2), keepdims=True)
-            wlabels = blurred / jnp.maximum(peak, 1e-6)
+        wlabels, wres = _labels_for(
+            wpts, points_valid, shape, gaussian_label_sigma
+        )
         batch.update(
             warped_image=wimg[..., None],
-            warped_labels_2d=wlabels[..., None],
+            warped_labels_2d=wlabels,
             warped_res=wres,
             warped_valid_mask=wmask,
             H_pair=H_fwd,

@@ -104,7 +104,15 @@ class SyntheticShapesDataset(ImageDataset):
         points = np.zeros((n, MAX_POINTS, 2), np.float32)
         valid = np.zeros((n, MAX_POINTS), bool)
         # disjoint seed streams per (split, index); the primitive is
-        # folded in by generate_sample itself
+        # folded in by generate_sample itself.  The 200k stride bounds
+        # the per-split size — enforce it so an oversized config can't
+        # silently alias training seeds into the validation/test streams
+        # (train/val leakage).
+        if n > 200_000:
+            raise ValueError(
+                f"split_sizes[{self.split}]={n} exceeds the 200000-sample "
+                "seed-stream stride; raise the stride to grow further"
+            )
         split_off = {"training": 0, "validation": 1, "test": 2}.get(self.split, 3)
         for i in range(n):
             s = self.seed * 1_000_003 + split_off * 200_000 + i

@@ -22,6 +22,7 @@ Fresh implementation, same primitive names and point contracts:
 from __future__ import annotations
 
 import math
+import zlib
 from typing import List, Tuple
 
 import cv2
@@ -447,8 +448,13 @@ def generate_sample(
     if primitive not in _DRAW_FNS:
         raise KeyError(f"unknown primitive {primitive!r}; known: {PRIMITIVES}")
     H, W = int(size[0]), int(size[1])
+    # zlib.crc32, NOT hash(): str hashes are salted per process
+    # (PYTHONHASHSEED), which would silently break the documented
+    # determinism contract and the seeded npz cache across runs
     rng = np.random.default_rng(
-        np.random.SeedSequence([hash(primitive) & 0x7FFFFFFF, H, W, int(seed)])
+        np.random.SeedSequence(
+            [zlib.crc32(primitive.encode()) & 0x7FFFFFFF, H, W, int(seed)]
+        )
     )
     big = (H * SUPERSAMPLE, W * SUPERSAMPLE)
     img = _background(rng, big)
@@ -458,7 +464,10 @@ def generate_sample(
     img = cv2.GaussianBlur(img, (b, b), 0)
     small = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
     if len(pts):
-        pts = _keep_inside(pts / SUPERSAMPLE, (H, W))
+        # pixel-center-correct downsample mapping: big-canvas coordinate
+        # b lands at (b + 0.5)/S − 0.5 on the output grid (a plain b/S
+        # would bias every label by +0.25 px at S=2)
+        pts = _keep_inside((pts + 0.5) / SUPERSAMPLE - 0.5, (H, W))
     else:
         pts = _EMPTY
     return small.astype(np.float32) / 255.0, pts
