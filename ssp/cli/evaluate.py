@@ -128,6 +128,7 @@ def evaluate(
             skipped += 1
             continue
         shape_hw = data["image"].shape[:2]
+        shape2_hw = data["warped_image"].shape[:2] if "warped_image" in data else shape_hw
         H = data["homography"]
         if output_img:
             _save_visuals(Path(path), f.stem, data)
@@ -135,6 +136,7 @@ def evaluate(
             r = compute_repeatability(
                 data["prob"], data["warped_prob"], H, shape_hw,
                 keep_k_points=TOP_K, distance_thresh=REP_THRESH,
+                shape2_hw=shape2_hw,
             )
             rep.append(r["repeatability"])
             loc.append(r["localization_err"])

@@ -14,6 +14,8 @@ from typing import Dict, Sequence
 import cv2
 import numpy as np
 
+from ssp.evaluations.detector import warp_keypoints_np
+
 
 def compute_homography(
     pts1: np.ndarray,
@@ -55,11 +57,10 @@ def compute_homography(
         [[0, 0], [Wh - 1, 0], [0, Hh - 1], [Wh - 1, Hh - 1]], np.float64
     )
 
-    def proj(H, p):
-        h = np.concatenate([p, np.ones((len(p), 1))], axis=1) @ H.T
-        return h[:, :2] / h[:, 2:]
-
-    dist = np.linalg.norm(proj(H_est, corners) - proj(H_true, corners), axis=1)
+    dist = np.linalg.norm(
+        warp_keypoints_np(corners, H_est) - warp_keypoints_np(corners, H_true),
+        axis=1,
+    )
     mean_dist = float(dist.mean())
     out.update(
         {

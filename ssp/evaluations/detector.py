@@ -47,15 +47,21 @@ def compute_repeatability(
     shape_hw: Tuple[int, int],
     keep_k_points: int = 300,
     distance_thresh: float = 3.0,
+    shape2_hw: Tuple[int, int] | None = None,
 ) -> Dict[str, float]:
     """pts1/pts2: [N, 3] (x, y, score) in image-1/image-2 coords;
-    H: image1 → image2 homography; shape_hw: image size.
+    H: image1 → image2 homography; shape_hw: image-1 size;
+    shape2_hw: image-2 size (defaults to shape_hw — un-resized HPatches
+    pairs can differ, and each filter must test against the bounds of
+    the image the warp lands in).
 
     Returns dict(repeatability, localization_err, count1, count2).
     """
-    # points of image2 whose backward warp stays inside image1, and
-    # points of image1 whose forward warp stays inside image2
-    pts1_f = _top_k(_filter_inside(pts1, H, shape_hw), keep_k_points)
+    if shape2_hw is None:
+        shape2_hw = shape_hw
+    # points of image1 whose forward warp stays inside image2, and
+    # points of image2 whose backward warp stays inside image1
+    pts1_f = _top_k(_filter_inside(pts1, H, shape2_hw), keep_k_points)
     pts2_f = _top_k(_filter_inside(pts2, np.linalg.inv(H), shape_hw), keep_k_points)
 
     n1, n2 = len(pts1_f), len(pts2_f)

@@ -22,7 +22,11 @@ def confusion_matrix(
     rows = target class, cols = predicted class."""
     pred = np.asarray(pred).reshape(-1)
     target = np.asarray(target).reshape(-1)
-    keep = target != ignore_class
+    # ignore the declared ignore class AND any out-of-range target id
+    # (e.g. a 255 void label under a non-contiguous convention) —
+    # clipping only pred while letting a wild target index through
+    # would corrupt or crash the bincount reshape
+    keep = (target != ignore_class) & (target >= 0) & (target < n_classes)
     pred, target = pred[keep], target[keep]
     idx = target.astype(np.int64) * n_classes + np.clip(pred, 0, n_classes - 1)
     return np.bincount(idx, minlength=n_classes * n_classes).reshape(

@@ -96,7 +96,8 @@ def run_descriptor_export(
     for idx, pair in enumerate(pairs):
         out_file = out_dir / f"{idx}.npz"
         if out_file.exists():
-            count += 1
+            # resume-by-skip: count only new writes (same return
+            # contract as run_ha_export)
             continue
         p1, v1, d1 = jax.device_get(dd_fn(jnp.asarray(pair["image"])))
         p2, v2, d2 = jax.device_get(dd_fn(jnp.asarray(pair["warped_image"])))

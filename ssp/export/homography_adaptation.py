@@ -89,18 +89,14 @@ def make_ha_fn(
 
     @jax.jit
     def warp_stage(keys: jax.Array, images: jnp.ndarray):
-        """[G], [G, H, W] → warp stack [G, N, H, W], masks, Hs_inv."""
-        G, H_img, W_img = images.shape
+        """[G], [G, H, W] → warp stack [G, N, H, W], Hs_inv."""
 
         def one(key, image):
             Hs = sample_homographies(key, num_h - 1, shift=-1.0, **h_params)
             # identity in slot 0 (reference sets H[0]=I, Coco.py:271)
             Hs = jnp.concatenate([jnp.eye(3)[None], Hs], axis=0)
             imgs = jax.vmap(lambda Hm: warp(image[..., None], Hm))(Hs)
-            masks = jax.vmap(
-                lambda Hm: compute_valid_mask((H_img, W_img), Hm, erosion_radius)
-            )(Hs)
-            return imgs[..., 0], masks, inv3(Hs)
+            return imgs[..., 0], inv3(Hs)
 
         return jax.vmap(one)(keys, images)
 
@@ -109,23 +105,31 @@ def make_ha_fn(
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def forward_stage(
         total, counts, maxs,
-        imgs: jnp.ndarray, masks: jnp.ndarray, Hs_inv: jnp.ndarray,
+        imgs: jnp.ndarray, Hs_inv: jnp.ndarray,
         g_idx: jnp.ndarray,
     ):
         """One chunk: forward + back-warp + *in-jit* accumulation into
         the donated per-group accumulators (keeping the accumulation
         inside the jit matters: eager per-chunk adds cost a device
-        dispatch each, which dominates on high-latency links)."""
+        dispatch each, which dominates on high-latency links).
+
+        Heat and counts are masked by the *same* closed-form
+        back-warped valid mask (half-plane test, no resampling), so the
+        mean heat's numerator and denominator always agree — masking in
+        the warped frame and counting with an original-frame mask
+        disagree in the erosion band wherever the warp's local scale
+        ≠ 1 (erosion does not commute with the homography).  With
+        erosion_radius ≥ 1 the bilinear back-warp's 1-px blend ring at
+        the un-eroded boundary lies outside the eroded mask, so no
+        padding garbage survives the mask multiply."""
         out = apply_fn(variables, imgs[..., None], train=False)
-        heat = flatten_detection(out["semi"])[..., 0] * masks
-        # back to the original frame (heat only — the back-warped mask
-        # has a closed form: mask_back(q) = 1[Hs_inv(q) ∈ bounds], the
-        # same half-plane test as compute_valid_mask, so no resampling)
+        heat = flatten_detection(out["semi"])[..., 0]
         H_img, W_img = heat.shape[-2], heat.shape[-1]
         back = jax.vmap(lambda h, Hm: warp(h[..., None], Hm)[..., 0])(heat, Hs_inv)
         mask_back = jax.vmap(
             lambda Hm: compute_valid_mask((H_img, W_img), Hm, erosion_radius)
         )(Hs_inv)
+        back = back * mask_back
         G = total.shape[0]
         total = total + jax.ops.segment_sum(back, g_idx, num_segments=G)
         counts = counts + jax.ops.segment_sum(mask_back, g_idx, num_segments=G)
@@ -164,11 +168,10 @@ def make_ha_fn(
         return jax.vmap(one)(agg_nms, agg)
 
     @jax.jit
-    def reshape_stage(imgs, masks, Hs_inv):
+    def reshape_stage(imgs, Hs_inv):
         G, N, H_img, W_img = imgs.shape
         return (
             imgs.reshape(G * N, H_img, W_img),
-            masks.reshape(G * N, H_img, W_img),
             Hs_inv.reshape(G * N, 3, 3),
         )
 
@@ -178,8 +181,8 @@ def make_ha_fn(
             images = images[None]
             keys = keys[None] if keys.ndim else jnp.stack([keys])
         G, H_img, W_img = images.shape
-        imgs, masks, Hs_inv = warp_stage(keys, images)
-        imgs_f, masks_f, hs_f = reshape_stage(imgs, masks, Hs_inv)
+        imgs, Hs_inv = warp_stage(keys, images)
+        imgs_f, hs_f = reshape_stage(imgs, Hs_inv)
 
         total = jnp.zeros((G, H_img, W_img))
         counts = jnp.zeros((G, H_img, W_img))
@@ -187,12 +190,16 @@ def make_ha_fn(
         n_total = G * num_h
         all_g_idx = np.arange(n_total) // num_h
         for s in range(0, n_total, chunk):
+            # clamp the final chunk: lax.slice does not tolerate
+            # out-of-bounds limits, so a chunk that doesn't divide
+            # G·num_h would otherwise crash after the warp stage (the
+            # remainder slice compiles one extra forward_stage variant)
+            e = min(s + chunk, n_total)
             total, counts, maxs = forward_stage(
                 total, counts, maxs,
-                jax.lax.slice_in_dim(imgs_f, s, s + chunk),
-                jax.lax.slice_in_dim(masks_f, s, s + chunk),
-                jax.lax.slice_in_dim(hs_f, s, s + chunk),
-                jnp.asarray(all_g_idx[s : s + chunk]),
+                jax.lax.slice_in_dim(imgs_f, s, e),
+                jax.lax.slice_in_dim(hs_f, s, e),
+                jnp.asarray(all_g_idx[s:e]),
             )
         pts, valid = finish_stage(total, counts, maxs)
         return (pts[0], valid[0]) if squeeze else (pts, valid)
@@ -248,11 +255,14 @@ def run_ha_export(
             count += 1
         pending.clear()
 
-    for name, img in images:
+    for idx, (name, img) in enumerate(images):
         out_file = out_dir / f"{name}.npz"
         if out_file.exists():
             continue
-        key, sub = jax.random.split(key)
+        # fold_in by position, not sequential split: a resumed run must
+        # assign each image the same homographies a fresh run would
+        # (skipped images consume no PRNG state)
+        sub = jax.random.fold_in(key, idx)
         pending.append((name, img, sub))
         if len(pending) >= group:
             flush(pending)

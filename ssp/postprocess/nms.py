@@ -54,11 +54,19 @@ def batched_nms(
         return nms_pallas(scores, radius, iterations, border=border)
     out = simple_nms(scores, radius, iterations)
     if border:
-        H, W = out.shape[-2:]
-        ys = (jnp.arange(H) >= border) & (jnp.arange(H) < H - border)
-        xs = (jnp.arange(W) >= border) & (jnp.arange(W) < W - border)
-        out = jnp.where(ys[:, None] & xs[None, :], out, jnp.zeros_like(out))
+        out = zero_border(out, border)
     return out
+
+
+def zero_border(scores: jnp.ndarray, border: int) -> jnp.ndarray:
+    """Zero detections within ``border`` px of the [..., H, W] edges —
+    the reference's ``border_remove`` (``model_wrap.py:266-293``).
+    Shared by the CPU NMS path and ``extract_keypoints``; the Pallas
+    kernel fuses the same mask in-kernel."""
+    H, W = scores.shape[-2:]
+    ys = (jnp.arange(H) >= border) & (jnp.arange(H) < H - border)
+    xs = (jnp.arange(W) >= border) & (jnp.arange(W) < W - border)
+    return jnp.where(ys[:, None] & xs[None, :], scores, jnp.zeros_like(scores))
 
 
 @partial(jax.jit, static_argnames=("radius", "iterations"))

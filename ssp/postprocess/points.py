@@ -43,13 +43,10 @@ def extract_keypoints(
     # support vmap-added batch blocking; batched callers pre-suppress
     # with ssp.postprocess.nms.batched_nms and pass nms_radius=0.
     nmsed = simple_nms(heatmap, nms_radius, nms_iterations)
-    ys = jnp.arange(H)
-    xs = jnp.arange(W)
-    border_ok = (
-        ((ys >= border) & (ys < H - border))[:, None]
-        & ((xs >= border) & (xs < W - border))[None, :]
-    )
-    nmsed = jnp.where(border_ok, nmsed, 0.0)
+    if border:
+        from ssp.postprocess.nms import zero_border
+
+        nmsed = zero_border(nmsed, border)
     scores, idx = jax.lax.top_k(nmsed.reshape(-1), k)
     pts = jnp.stack(
         [(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32), scores],

@@ -70,7 +70,12 @@ class SuperPointProcess:
                 nms_map, k=self.out_num_points, conf_thresh=self.conf_thresh,
                 nms_radius=0, nms_iterations=1,
             )
-            descs = sample_descriptors(d, pts)
+            # the reference samples descriptors at the subpixel-refined
+            # positions pts_int + res (``model_utils.py:190-194``); res
+            # rows align with pts because pred_soft_argmax extracts with
+            # the identical parameters from the same NMS maps
+            refined = jnp.concatenate([pts[..., :2] + res, pts[..., 2:]], axis=-1)
+            descs = sample_descriptors(d, refined)
             return pts, descs, valid
 
         pts, descs, valid = jax.vmap(one)(desc, heatmap_nms, residual)

@@ -107,7 +107,9 @@ class PointTracker:
                 [self.last_pts[:, i1], pts[:2, i2]], axis=0
             )  # [4, L]
         else:
-            self.matches = raw
+            # first frame: no previous points — keep the documented
+            # [4, L] coordinate contract (raw is [3, 0] index/dist rows)
+            self.matches = np.zeros((4, 0))
 
         matched = np.zeros(pts.shape[1], bool)
         for i1f, i2f, score in raw.T:

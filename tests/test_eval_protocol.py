@@ -75,6 +75,17 @@ class TestSemanticMetrics:
         assert m["mean_iou"] == pytest.approx((1 / 2 + 2 / 3) / 2)
         assert m["mean_class_accuracy"] == pytest.approx((1 / 2 + 1) / 2)
 
+    def test_out_of_range_void_labels_ignored(self):
+        """Targets outside [0, n_classes) that aren't the declared
+        ignore class (e.g. a 255 void convention) must be excluded,
+        not crash the bincount reshape."""
+        from ssp.evaluations.semantic import evaluate_semantic
+
+        target = np.array([0, 1, 255, -1, 133])
+        pred = np.array([0, 1, 0, 0, 0])
+        m = evaluate_semantic(pred, target, n_classes=2, ignore_class=133)
+        assert m["pixel_accuracy"] == 1.0
+
     def test_logits_argmax_path(self):
         from ssp.evaluations.semantic import evaluate_semantic
 

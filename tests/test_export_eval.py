@@ -97,6 +97,62 @@ class TestHAExport:
         # resume skips
         assert run_ha_export(ha, [("a", img)], tmp_path / "out") == 0
 
+    def test_ha_chunk_not_dividing_total(self, tmp_path):
+        """A chunk that does not divide G·num_h must clamp the final
+        slice, not crash (lax.slice rejects out-of-bounds limits)."""
+        from ssp.export.homography_adaptation import make_ha_fn
+
+        model = build_model("SuperPointNet_gauss2", dtype=jnp.float32)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 48, 64, 1)), train=False)
+        ha = make_ha_fn(
+            model.apply, variables, num_h=5, chunk=3, top_k=10, conf_thresh=0.0
+        )
+        img = jnp.asarray(
+            np.random.default_rng(0).uniform(size=(48, 64)).astype(np.float32)
+        )
+        pts, valid = ha(jax.random.key(1), img)
+        assert np.isfinite(np.asarray(pts)).all()
+
+    def test_ha_resume_assigns_same_homographies(self, tmp_path):
+        """Interrupted-then-resumed exports must produce the same
+        pseudo-labels as a fresh run with the same seed (per-image PRNG
+        is positional, not sequential-split)."""
+        from ssp.export.homography_adaptation import make_ha_fn, run_ha_export
+
+        model = build_model("SuperPointNet_gauss2", dtype=jnp.float32)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 48, 64, 1)), train=False)
+        ha = make_ha_fn(model.apply, variables, num_h=3, top_k=10, conf_thresh=0.0)
+        rng = np.random.default_rng(2)
+        imgs = [(f"i{k}", rng.uniform(size=(48, 64)).astype(np.float32))
+                for k in range(3)]
+        run_ha_export(ha, imgs, tmp_path / "fresh", seed=7)
+        # "interrupted" run: first image already exported, rest resume
+        run_ha_export(ha, imgs[:1], tmp_path / "resumed", seed=7)
+        run_ha_export(ha, imgs, tmp_path / "resumed", seed=7)
+        for name, _ in imgs:
+            with np.load(tmp_path / "fresh" / f"{name}.npz") as a, \
+                    np.load(tmp_path / "resumed" / f"{name}.npz") as b:
+                np.testing.assert_allclose(a["pts"], b["pts"])
+
+    def test_descriptor_export_counts_only_new_writes(self, tmp_path):
+        from ssp.export.descriptors_export import (
+            make_detect_describe_fn, run_descriptor_export,
+        )
+
+        model = build_model("SuperPointNet_gauss2", dtype=jnp.float32)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 48, 64, 1)), train=False)
+        dd = make_detect_describe_fn(
+            model.apply, variables, top_k=20, conf_thresh=0.0, nms_radius=4,
+        )
+        rng = np.random.default_rng(1)
+        pair = {
+            "image": rng.uniform(size=(48, 64)).astype(np.float32),
+            "warped_image": rng.uniform(size=(48, 64)).astype(np.float32),
+            "homography": np.eye(3),
+        }
+        assert run_descriptor_export(dd, [pair], tmp_path / "d") == 1
+        assert run_descriptor_export(dd, [pair], tmp_path / "d") == 0
+
 
 class TestRepeatabilityProtocol:
     def test_translation_case(self):
@@ -113,6 +169,25 @@ class TestRepeatabilityProtocol:
         r = compute_repeatability(pts1, pts2, H, (64, 64))
         assert r["repeatability"] == 1.0
         assert r["localization_err"] == pytest.approx(0.0, abs=1e-5)
+
+    def test_differing_image_sizes(self):
+        """Keypoints of image 1 are filtered against image 2's bounds
+        (and vice versa) — un-resized HPatches pairs differ in size."""
+        from ssp.evaluations import compute_repeatability
+
+        # image1 is 64 wide, image2 is 96 wide, H translates x by +40:
+        # (50, 10) warps to (90, 10) — inside image 2 but beyond
+        # image 1's width, so filtering warped pts1 against image 1's
+        # shape (the old behavior) wrongly discards it
+        H = np.eye(3)
+        H[0, 2] = 40.0
+        pts1 = np.array([[50.0, 10.0, 1.0]])
+        pts2 = np.array([[90.0, 10.0, 1.0]])
+        r = compute_repeatability(
+            pts1, pts2, H, (64, 64), shape2_hw=(64, 96)
+        )
+        assert r["count1"] == 1 and r["count2"] == 1
+        assert r["repeatability"] == 1.0
 
 
 class TestReferenceCSVRow:

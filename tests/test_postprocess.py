@@ -159,6 +159,17 @@ class TestMatcher:
         for i1, i2 in zip(m[0], m[1]):
             assert i2 in (i1, i1 + 1)
 
+    def test_tracker_single_frame_matches_contract(self):
+        """After one update there is no previous frame: get_matches
+        must return the documented [4, L] shape (empty), not the raw
+        [3, L] index/dist array."""
+        d = self._rand_desc(4, seed=9)
+        pts = np.vstack([np.arange(4.0), np.arange(4.0), np.ones(4)])
+        tr = PointTracker(max_length=2, nn_thresh=0.7)
+        tr.update(pts, d)
+        m = tr.get_matches()
+        assert m.shape == (4, 0)
+
     def test_tracker_two_frames(self):
         d = self._rand_desc(6, seed=4)
         pts1 = np.vstack([np.arange(6.0), np.arange(6.0) + 1, np.ones(6)])
