@@ -62,7 +62,7 @@ def _quad_basis(q: jnp.ndarray) -> jnp.ndarray:
     ones = jnp.ones_like(q[:, :1])
     qh = jnp.concatenate([q, ones], axis=-1)  # [4, 3]
     A = qh[:3].T  # [3, 3] columns are q1..q3 homogeneous
-    lam = inv3(A) @ qh[3]
+    lam = jnp.matmul(inv3(A), qh[3], precision=jax.lax.Precision.HIGHEST)
     return A * lam[None, :]
 
 
@@ -77,7 +77,10 @@ def homography_from_corners(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray
     """
     M1 = _quad_basis(pts1)
     M2 = _quad_basis(pts2)
-    H = M2 @ inv3(M1)
+    # fp32 accumulation: these two products ARE the homography — the
+    # platform's default bf16 matmul precision would smear it by ~1 px
+    # at 320-px width (warp_points below is hardened the same way)
+    H = jnp.matmul(M2, inv3(M1), precision=jax.lax.Precision.HIGHEST)
     return H / H[2, 2]
 
 

@@ -194,18 +194,44 @@ int ssp_decode_gray_resize(const char* path, int out_h, int out_w, float* out) {
 }
 
 // Native (pre-resize) image dimensions; returns 0 on success.
+// Header-only reads: a full decode just to learn the size doubled the
+// per-image decode cost of the resize=None path.
 int ssp_image_size(const char* path, int* h, int* w) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   uint8_t magic[8] = {0};
   size_t got = fread(magic, 1, 8, f);
   rewind(f);
-  std::vector<uint8_t> pixels;
   bool ok = false;
   if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    ok = decode_jpeg_gray(f, &pixels, h, w);
+    jpeg_decompress_struct cinfo;
+    JpegErrorMgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jpeg_error_exit;
+    if (setjmp(jerr.setjmp_buffer)) {
+      jpeg_destroy_decompress(&cinfo);
+      fclose(f);
+      return -2;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    *h = cinfo.image_height;
+    *w = cinfo.image_width;
+    jpeg_destroy_decompress(&cinfo);
+    ok = true;
   } else if (got >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
-    ok = decode_png_gray(f, &pixels, h, w);
+    png_structp png =
+        png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (png && info && !setjmp(png_jmpbuf(png))) {
+      png_init_io(png, f);
+      png_read_info(png, info);
+      *h = png_get_image_height(png, info);
+      *w = png_get_image_width(png, info);
+      ok = true;
+    }
+    if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
   }
   fclose(f);
   return ok ? 0 : -2;

@@ -28,16 +28,18 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis (batch) sharding over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+def batch_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    """Sharding with dimension ``axis`` split over the data axis
+    (axis 0 = the usual [B, ...] batch; axis 1 = [steps, B, ...]
+    stacked multi-step batches)."""
+    return NamedSharding(mesh, P(*([None] * axis), DATA_AXIS))
 
 
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """device_put a pytree of [B, ...] arrays, B sharded over the mesh."""
-    sharding = batch_sharding(mesh)
+def shard_batch(batch: Any, mesh: Mesh, axis: int = 0) -> Any:
+    """device_put a pytree with dimension ``axis`` sharded over the mesh."""
+    sharding = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

@@ -55,10 +55,15 @@ def load_checkpoint(path: Path, state, *, mode: str = "full", reset_iter: bool =
     state = state.replace(
         params=payload["params"],
         batch_stats=payload["batch_stats"],
-        etas=payload["etas"],
     )
     if mode == "full":
-        state = state.replace(opt_state=payload["opt_state"], step=payload["step"])
+        # Kendall etas travel with the optimizer state: a weights-only
+        # load (fresh training from a pretrained net) starts from fresh
+        # task weights, as the docstring promises
+        state = state.replace(
+            opt_state=payload["opt_state"], step=payload["step"],
+            etas=payload["etas"],
+        )
     if reset_iter:
         state = state.replace(step=np.zeros((), np.int32))
     return state

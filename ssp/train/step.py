@@ -56,7 +56,6 @@ def compute_losses(
     ignore_class: int,
 ) -> Tuple[jnp.ndarray, Tuple[Any, Dict[str, jnp.ndarray]]]:
     """Pure loss evaluation; returns (loss, (new_batch_stats, metrics))."""
-    variables = {"params": params, "batch_stats": state.batch_stats}
 
     def forward(img, stats):
         v = {"params": params, "batch_stats": stats}
@@ -67,7 +66,11 @@ def compute_losses(
 
     out1, stats = forward(batch["image"], state.batch_stats)
 
-    add_dustbin = det_loss_type == "softmax"
+    # always 65 channels: the reference pairs its l2 variant with
+    # dustbin-less 64-channel labels (Train_model_heatmap_all.py:290-300),
+    # which shape-errors against the fixed 65-channel semi head there
+    # too — a broken upstream path, not semantics to replicate
+    add_dustbin = True
     cells1 = labels_to_cells(batch["labels_2d"], add_dustbin=add_dustbin)
     cmask1 = cell_valid_mask(batch["valid_mask"])
     loss_det = detector_loss(out1["semi"], cells1, cmask1, det_loss_type)

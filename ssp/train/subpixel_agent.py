@@ -63,7 +63,7 @@ def make_subpixel_train_step(
         else:
             out = state.apply_fn(variables, batch["image"], train=False)
             stats = state.batch_stats
-        cells = labels_to_cells(batch["labels_2d"], add_dustbin=det_loss_type == "softmax")
+        cells = labels_to_cells(batch["labels_2d"], add_dustbin=True)  # see step.py: 65-ch always
         cmask = cell_valid_mask(batch["valid_mask"])
         loss_det = detector_loss(out["semi"], cells, cmask, det_loss_type)
         loss_sub = subpixel_map_loss(

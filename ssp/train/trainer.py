@@ -47,10 +47,7 @@ log = logging.getLogger(__name__)
 
 def shard_batch_axis1(batch, mesh):
     """Shard [steps, B, ...] host arrays over the data axis on axis 1."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    sharding = NamedSharding(mesh, P(None, "data"))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    return shard_batch(batch, mesh, axis=1)
 
 DEFAULT_CONFIG: Dict[str, Any] = {
     "train_iter": 170000,
@@ -120,6 +117,7 @@ class TrainAgent:
         self.exper.dump_config(self.config)
         self._heat_fn = None
         self._residual_fn = None
+        self._val_logger = None
         if mesh is None:
             # data-parallel mesh over the largest device count that
             # divides the global batch (batches shard evenly or not at all)
@@ -228,7 +226,6 @@ class TrainAgent:
                 self.config[k] = max(((v + stride - 1) // stride) * stride, stride)
         if self.steps_per_dispatch > 1:
             prep = self._prep_train
-            base_step = self.train_step
 
             def multi_step(state, stacked_batches, key):
                 keys = jax.random.split(key, self.steps_per_dispatch)
@@ -237,7 +234,10 @@ class TrainAgent:
                     k, batch_raw = inp
                     k_prep, k_step = jax.random.split(k)
                     batch = prep(k_prep, batch_raw)
-                    st, metrics = base_step(st, batch, k_step)
+                    # read self.train_step at trace time, not build
+                    # time: subclasses (SubpixelTrainAgent) swap the
+                    # step AFTER super()._build() returns
+                    st, metrics = self.train_step(st, batch, k_step)
                     return st, metrics
 
                 state, metrics = jax.lax.scan(body, state, (keys, stacked_batches))
@@ -303,10 +303,29 @@ class TrainAgent:
         # (config: profile: {enable: true, logdir: ..., steps: N})
         prof_cfg = self.config.get("profile", {}) or {}
         prof_active = False
+        prof_done = False
+        stride = self.r * self.steps_per_dispatch
+
+        def hits(n0: int, n1: int, interval: int, lo: int = 0) -> bool:
+            """True iff a multiple of ``interval`` lies in [max(n0, lo), n1).
+
+            Interval checks must be window-crossing tests: with
+            ``steps_per_dispatch`` > 1 the iteration counter advances by
+            the whole stride at once and a plain ``n_iter % interval``
+            check would never fire (the counter lands on
+            j·stride + r·(k−1), never on a multiple of the interval)."""
+            a = max(n0, lo)
+            if n1 <= a or interval <= 0:
+                return False
+            return (n1 - 1) // interval >= -(-a // interval)
+
         t0 = time.time()
+        n_last_log = self.n_iter
         try:
             while self.n_iter < self.max_iter and not interrupted["flag"]:
-                if prof_cfg.get("enable") and not prof_active and self.n_iter == 2 * self.r:
+                n0 = self.n_iter
+                if (prof_cfg.get("enable") and not prof_active and not prof_done
+                        and n0 >= 2 * self.r):
                     jax.profiler.start_trace(
                         prof_cfg.get("logdir", str(self.exper.root / "profile"))
                     )
@@ -321,46 +340,67 @@ class TrainAgent:
                     self.state, metrics = self.multi_train_step(
                         self.state, stacked, k_step
                     )
-                    self.n_iter += self.r * (self.steps_per_dispatch - 1)
                 else:
                     host_batch = next(self.train_loader)
                     batch = self._prep_train(k_prep, shard_batch(host_batch, self.mesh))
                     self.state, metrics = self.train_step(self.state, batch, k_step)
+                self.n_iter = n0 + stride
                 if prof_active and self.n_iter >= (2 + int(prof_cfg.get("steps", 5))) * self.r:
                     jax.block_until_ready(self.state.params)
                     jax.profiler.stop_trace()
                     prof_active = False
+                    prof_done = True
 
-                if self.n_iter % tb_int == 0:
+                # events are labeled with the interval boundary the
+                # window crossed (largest multiple below n_iter), so
+                # checkpoint names / metric steps stay on the familiar
+                # multiples regardless of the dispatch stride
+                def boundary(interval: int) -> int:
+                    return ((self.n_iter - 1) // interval) * interval
+
+                if hits(n0, self.n_iter, tb_int):
                     scal = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     scal["iters_per_s"] = (
-                        tb_int / max(time.time() - t0, 1e-9) if self.n_iter else 0.0
+                        (self.n_iter - n_last_log) / max(time.time() - t0, 1e-9)
+                        if n0 else 0.0
                     )
                     t0 = time.time()
-                    logger.log(self.n_iter, scal)
+                    n_last_log = self.n_iter
+                    b = boundary(tb_int)
+                    logger.log(b, scal)
                     log.info(
                         "iter %d loss %.4f det %.4f desc %.4f",
-                        self.n_iter, scal["loss"], scal["loss_det"], scal["loss_desc"],
+                        b, scal["loss"], scal["loss_det"], scal["loss_desc"],
                     )
 
-                if val_int and self.val_loader is not None and self.n_iter % val_int == 0:
+                if val_int and self.val_loader is not None and hits(n0, self.n_iter, val_int):
                     # dedicated subkey: never reuse the carried key, or the
                     # first val batch's prep/step keys would equal the next
                     # training step's (correlated augmentation streams)
                     key, k_val = jax.random.split(key)
-                    self._validate(k_val)
+                    self._validate(k_val, label=boundary(val_int))
 
-                if self.n_iter != 0 and self.n_iter % save_int == 0:
-                    save_checkpoint(self.exper.checkpoints, self.state, self.n_iter)
-
-                self.n_iter += self.r
+                if hits(n0, self.n_iter, save_int, lo=1):
+                    save_checkpoint(
+                        self.exper.checkpoints, self.state, boundary(save_int)
+                    )
         finally:
             signal.signal(signal.SIGINT, prev_handler)
             save_checkpoint(self.exper.checkpoints, self.state, self.n_iter)
             logger.close()
+            if self._val_logger is not None:
+                self._val_logger.close()
+                self._val_logger = None
 
-    def _validate(self, key: jax.Array) -> None:
-        logger = MetricsLogger(self.exper, "val")
+    def _validate(self, key: jax.Array, label: Optional[int] = None) -> None:
+        # one logger for the whole run: a fresh MetricsLogger per call
+        # would open a new timestamped TensorBoard event dir every
+        # validation, fragmenting the scalar curves across ~hundreds of
+        # files on a long run
+        if self._val_logger is None:
+            self._val_logger = MetricsLogger(self.exper, "val")
+        logger = self._val_logger
+        step_label = self.n_iter if label is None else label
         n_batches = int(self.config.get("validation_size", 4)) + 1
         agg: Dict[str, list] = {}
         first_batch = None
@@ -378,10 +418,9 @@ class TrainAgent:
             err = self._residual_diagnostic(first_batch)
             if err is not None:
                 scalars["subpix_residual_err"] = err
-        logger.log(self.n_iter, scalars, prefix="val_")
+        logger.log(step_label, scalars, prefix="val_")
         if first_batch is not None:
-            self._log_val_images(logger, first_batch)
-        logger.close()
+            self._log_val_images(logger, first_batch, step_label)
 
     def _residual_diagnostic(self, batch) -> Optional[float]:
         """Soft-argmax subpixel offsets at label positions vs the true
@@ -422,7 +461,7 @@ class TrainAgent:
             log.exception("residual diagnostic failed")
             return None
 
-    def _log_val_images(self, logger: MetricsLogger, batch) -> None:
+    def _log_val_images(self, logger: MetricsLogger, batch, step: int) -> None:
         """Heatmap / label / NMS overlays and the warped-pair panel for
         the first val image (reference TensorBoard image logging,
         ``Train_model_frontend_all.py:535-566``: label overlay, NMS
@@ -454,7 +493,7 @@ class TrainAgent:
                 )[0, ..., 0]
                 img = np.asarray(jax.device_get(img_dev[0, ..., 0]))
                 labels = np.asarray(jax.device_get(labels_dev[0, ..., 0]))
-                logger.log_image(self.n_iter, f"val/{tag}_heatmap_overlay",
+                logger.log_image(step, f"val/{tag}_heatmap_overlay",
                                  img_overlap(heat / max(heat.max(), 1e-6),
                                              labels, img))
                 pts, valid = extract_keypoints(
@@ -462,7 +501,7 @@ class TrainAgent:
                     nms_radius=nms_rad,
                 )
                 pts = np.asarray(jax.device_get(pts))[np.asarray(valid)]
-                logger.log_image(self.n_iter, f"val/{tag}_nms_detections",
+                logger.log_image(step, f"val/{tag}_nms_detections",
                                  draw_keypoints(img, pts))
 
             panels(batch["image"], batch["labels_2d"], "base")

@@ -49,6 +49,7 @@ class ValAgent:
         state = create_train_state(self.model, jax.random.key(0), (1, *self.input_hw, 1))
         state = load_checkpoint(path, state, mode="weights")
         self._variables = {"params": state.params, "batch_stats": state.batch_stats}
+        self._jitted = None  # the cached jit closes over the old weights
 
     loadModel = load_model  # reference-spelling alias
 
@@ -57,6 +58,7 @@ class ValAgent:
             jax.random.key(0), jnp.zeros((1, *self.input_hw, 1)), train=False
         )
         self._variables = {"params": v["params"], "batch_stats": v.get("batch_stats", {})}
+        self._jitted = None
 
     def _fn(self):
         if self._jitted is None:

@@ -42,3 +42,16 @@ def test_multi_step_dispatch(tmp_path):
     agent.train()
     assert int(agent.state.step) == 8  # 2 dispatches × 4 steps
     assert agent.n_iter >= 8
+
+    # interval events must fire even though n_iter advances by the
+    # whole stride at once (window-crossing checks, not `% interval`,
+    # which would never hit a multiple): tensorboard_interval=4 →
+    # boundary labels 0 and 4, final checkpoint from the exit save
+    import json
+
+    rows = [json.loads(l) for l in open(exper.root / "metrics_train.jsonl")]
+    logged_steps = {r["step"] for r in rows}
+    assert {0, 4} <= logged_steps, logged_steps
+    assert (exper.checkpoints / "superPointNet_8").exists(), list(
+        exper.checkpoints.iterdir()
+    )
