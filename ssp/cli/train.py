@@ -79,9 +79,71 @@ def main() -> None:
         p.add_argument("exper_name")
         p.add_argument("--debug", action="store_true")
         p.add_argument("--eval", action="store_true")
+        p.add_argument(
+            "--max-restarts", type=int, default=0,
+            help="supervise the run in child processes: on a crash "
+            "(OOM kill, RSS-budget stop, infra failure) resume from "
+            "the newest checkpoint, up to N times.  The TPU-tunnel "
+            "PJRT plugin leaks every host-to-device staging buffer "
+            "(~batch size per step), so multi-hour runs need either "
+            "this or a generous rss_budget_mb.",
+        )
     args = ap.parse_args()
+    if getattr(args, "max_restarts", 0) > 0:
+        raise SystemExit(run_supervised(
+            args.command, args.config, args.exper_name, args.max_restarts,
+            debug=args.debug,
+        ))
     config = load_config(args.config)
     train_joint(config, args.exper_name, debug=args.debug, eval_only=args.eval)
+
+
+def run_supervised(
+    command: str, config_path: str, exper_name: str, max_restarts: int,
+    debug: bool = False,
+) -> int:
+    """Crash-resilient training: run the real training in a child
+    process; if it dies (nonzero exit — including SIGKILL from the
+    kernel OOM killer, which no in-process handler can survive), write
+    a resume config pointing at the newest checkpoint and relaunch.
+
+    This is the process-granularity recovery the reference approximates
+    with its Ctrl-C handler (``train4.py:96-102``) — but it also covers
+    failures Python never sees."""
+    import subprocess
+    import sys
+
+    import yaml
+
+    from ssp.train.checkpoint import latest_checkpoint
+
+    log_ = logging.getLogger("ssp.train.supervisor")
+    cfg_file = config_path
+    rc = 1
+    for attempt in range(max_restarts + 1):
+        cmd = [sys.executable, "-m", "ssp.cli.train", command, cfg_file, exper_name]
+        if debug:
+            cmd.append("--debug")
+        rc = subprocess.call(cmd)
+        if rc == 0:
+            return 0
+        exper = ExperimentPaths(exper_name)
+        ckpt = latest_checkpoint(exper.checkpoints)
+        if ckpt is None:
+            log_.error("child exited %d with no checkpoint to resume from", rc)
+            return rc
+        cfg = load_config(config_path)
+        cfg["pretrained"] = str(ckpt)
+        cfg["retrain"] = False
+        cfg["reset_iter"] = False
+        cfg_file = str(exper.root / "resume_auto.yaml")
+        with open(cfg_file, "w") as f:
+            yaml.safe_dump(cfg, f)
+        log_.warning(
+            "child exited %d; restart %d/%d from %s",
+            rc, attempt + 1, max_restarts, ckpt,
+        )
+    return rc
 
 
 if __name__ == "__main__":

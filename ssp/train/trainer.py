@@ -319,6 +319,28 @@ class TrainAgent:
                 return False
             return (n1 - 1) // interval >= -(-a // interval)
 
+        # host-memory watchdog: long tunnel-backed runs have been
+        # OOM-killed by the kernel with no Python-visible error (and no
+        # final checkpoint — the SIGKILL skips `finally`).  RSS is
+        # logged with every metrics row for leak diagnosis, and when it
+        # crosses the budget the trainer checkpoints and raises a clear
+        # error instead of dying silently.  Budget defaults to 85% of
+        # MemTotal; set ``rss_budget_mb: 0`` to disable.
+        import resource
+
+        def rss_mb() -> float:
+            return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+        budget_mb = self.config.get("rss_budget_mb")
+        if budget_mb is None:
+            try:
+                with open("/proc/meminfo") as f:
+                    total_kb = int(f.readline().split()[1])
+                budget_mb = 0.85 * total_kb / 1024.0
+            except OSError:
+                budget_mb = 0
+        budget_mb = float(budget_mb)
+
         t0 = time.time()
         n_last_log = self.n_iter
         try:
@@ -359,11 +381,25 @@ class TrainAgent:
                     return ((self.n_iter - 1) // interval) * interval
 
                 if hits(n0, self.n_iter, tb_int):
+                    import gc
+
+                    gc.collect()  # drop cyclic garbage holding device handles
                     scal = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     scal["iters_per_s"] = (
                         (self.n_iter - n_last_log) / max(time.time() - t0, 1e-9)
                         if n0 else 0.0
                     )
+                    scal["host_rss_mb"] = rss_mb()
+                    if budget_mb and scal["host_rss_mb"] > budget_mb:
+                        save_checkpoint(
+                            self.exper.checkpoints, self.state, self.n_iter
+                        )
+                        raise RuntimeError(
+                            f"host RSS {scal['host_rss_mb']:.0f} MB exceeds the "
+                            f"{budget_mb:.0f} MB budget at iter {self.n_iter}; "
+                            "checkpoint saved — resume with pretrained: "
+                            f"{self.exper.checkpoints}/superPointNet_{self.n_iter}"
+                        )
                     t0 = time.time()
                     n_last_log = self.n_iter
                     b = boundary(tb_int)

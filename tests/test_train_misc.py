@@ -51,3 +51,65 @@ class TestPrecisionRecall:
         labels[2, 2] = 1.0
         p, r = precision_recall(heat, labels)
         assert r == 1.0 and p == pytest.approx(1 / 64)
+
+
+class TestRssWatchdog:
+    def _config(self, budget):
+        import jax.numpy as jnp
+
+        return {
+            "data": {
+                "preprocessing": {"resize": [48, 64]},
+                "augmentation": {
+                    "photometric": {"enable": False},
+                    "homographic": {"enable": False},
+                },
+                "warped_pair": {"enable": False},
+            },
+            "model": {
+                "name": "SuperPointNet_gauss2",
+                "params": {"dtype": jnp.float32},
+                "batch_size": 4,
+                "learning_rate": 0.01,
+                "lambda_loss": 0,
+            },
+            "train_iter": 6,
+            "validation_interval": 1000,
+            "tensorboard_interval": 2,
+            "save_interval": 1000,
+            "rss_budget_mb": budget,
+        }
+
+    def _loader(self, tmp_path):
+        from ssp.data.synthetic_dataset import SyntheticShapesDataset
+
+        ds = SyntheticShapesDataset(
+            task="train", primitives=["draw_polygon"],
+            generation={"split_sizes": {"training": 8}},
+            cache_dir=tmp_path / "synth", preprocessing={"resize": [48, 64]},
+        )
+        return ds.batches(4, seed=0)
+
+    def test_budget_stop_saves_checkpoint_and_raises(self, tmp_path):
+        """Over-budget RSS → checkpoint + a clear error, not a silent
+        OOM kill (the TPU-tunnel plugin leaks every host→device staging
+        buffer; long runs need this or --max-restarts)."""
+        from ssp.train.trainer import TrainAgent
+        from ssp.utils.experiment import ExperimentPaths
+
+        exper = ExperimentPaths("watchdog", tmp_path)
+        agent = TrainAgent(self._config(budget=1), save_path=exper)
+        agent.train_loader = self._loader(tmp_path)
+        with pytest.raises(RuntimeError, match="RSS .* exceeds"):
+            agent.train()
+        assert any(exper.checkpoints.iterdir())
+
+    def test_budget_disabled_runs_to_completion(self, tmp_path):
+        from ssp.train.trainer import TrainAgent
+        from ssp.utils.experiment import ExperimentPaths
+
+        exper = ExperimentPaths("watchdog_off", tmp_path)
+        agent = TrainAgent(self._config(budget=0), save_path=exper)
+        agent.train_loader = self._loader(tmp_path)
+        agent.train()
+        assert int(agent.state.step) == 6
