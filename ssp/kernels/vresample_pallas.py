@@ -57,6 +57,10 @@ def _vres_kernel(img_ref, rows_ref, out_ref, *, s_img):
         for d in range(UNROLL):
             i = i0 + d
             w = jnp.maximum(0.0, 1.0 - jnp.abs(rows - i.astype(jnp.float32)))
+            # unroll overshoot guard: clamping the row read to the last
+            # image row without zeroing the weight would double-count it
+            # whenever the band end isn't a multiple of UNROLL
+            w = jnp.where(i < s_img, w, 0.0)
             row = img_ref[pl.ds(jnp.minimum(i, s_img - 1), 1), :]
             contrib = contrib + w * row
         return acc + contrib

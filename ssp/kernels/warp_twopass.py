@@ -40,10 +40,11 @@ def _rot_k(k: int) -> jnp.ndarray:
     return jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
 
 
-def _use_pallas() -> bool:
-    """Pallas resample on accelerators; the XLA einsum on CPU (where
-    Mosaic is unavailable outside interpret mode)."""
-    return jax.default_backend() not in ("cpu",)
+def _use_pallas(size: int) -> bool:
+    """Pallas resample on TPU (the kernel is TPU-Mosaic-only — on GPU
+    the XLA einsum path is the correct fallback, not a lowering crash)
+    when the square side satisfies the kernel's tile constraint."""
+    return jax.default_backend() == "tpu" and (size <= 32 or size % 32 == 0)
 
 
 def _vresample(img: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
@@ -54,7 +55,7 @@ def _vresample(img: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
     (``ssp.kernels.vresample_pallas``) — the XLA one-hot einsum below
     materializes an [S, S, S] weight tensor and is HBM-bound.
     """
-    if _use_pallas():
+    if _use_pallas(img.shape[0]):
         from ssp.kernels.vresample_pallas import vresample_pallas
 
         if img.ndim == 2:
@@ -63,6 +64,11 @@ def _vresample(img: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
             jax.vmap(vresample_pallas, in_axes=(2, None))(img, rows), 0, -1
         )
     S = img.shape[0]
+    # int32-safe: a near-horizon pixel can put rows at 1e9+ where the
+    # float->int cast is undefined and may alias a valid row with
+    # weight 1.0 (fractional part underflows to 0); the kill value -10
+    # and every in-range coordinate survive the clip untouched
+    rows = jnp.clip(rows, -64.0, S + 64.0)
     y0 = jnp.floor(rows)
     fy = rows - y0
     y0i = y0.astype(jnp.int32)
@@ -83,7 +89,7 @@ def _vresample(img: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
 
 def _hresample(img: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
     """out[y, o] = img(y, cols[y, o]), bilinear along axis 1, zero pad."""
-    if _use_pallas():
+    if _use_pallas(img.shape[1]):
         from ssp.kernels.vresample_pallas import vresample_pallas
 
         # horizontal = vertical under transposition (layout ops are
@@ -95,6 +101,7 @@ def _hresample(img: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
             0, -1,
         )
     S = img.shape[1]
+    cols = jnp.clip(cols, -64.0, S + 64.0)
     x0 = jnp.floor(cols)
     fx = cols - x0
     x0i = x0.astype(jnp.int32)

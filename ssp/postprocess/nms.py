@@ -48,7 +48,9 @@ def batched_nms(
     ``border > 0`` also zeroes detections within ``border`` px of the
     image edge (the reference's ``border_remove``); fused into the
     Pallas kernel on accelerators, a masked pass on the CPU path."""
-    if radius > 0 and jax.default_backend() != "cpu":
+    if radius > 0 and jax.default_backend() == "tpu":
+        # == "tpu", not != "cpu": the kernel is TPU-Mosaic-only — on a
+        # GPU backend the XLA path below is the fallback, not a crash
         from ssp.kernels.nms_pallas import nms_pallas
 
         return nms_pallas(scores, radius, iterations, border=border)

@@ -28,5 +28,10 @@ def load_config(path: Union[str, Path], defaults: Dict[str, Any] = None) -> Dict
     with open(path) as f:
         cfg = yaml.safe_load(f)
     if defaults:
-        return dict_update(dict(defaults), cfg)
+        import copy
+
+        # deep copy: dict_update merges in place, and a shallow dict()
+        # would let one load mutate the caller's nested default dicts
+        # for every later call
+        return dict_update(copy.deepcopy(defaults), cfg)
     return cfg

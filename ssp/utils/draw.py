@@ -74,7 +74,9 @@ def plot_imgs(
     fig, axes = plt.subplots(1, n, figsize=(4 * n, 4))
     if n == 1:
         axes = [axes]
-    for ax, img, title in zip(axes, imgs, titles or [""] * n):
+    titles = list(titles or [])
+    titles += [""] * (n - len(titles))  # zip would silently drop images
+    for ax, img, title in zip(axes, imgs, titles):
         ax.imshow(img, cmap=cmap)
         ax.set_title(title)
         ax.axis("off")

@@ -97,3 +97,9 @@ class MetricsLogger:
 
     def close(self) -> None:
         self._jsonl.close()
+        if self._tb is not None:
+            # tf buffers events (~120 s flush interval): without an
+            # explicit close, scalars logged since the last periodic
+            # flush never reach the events file
+            self._tb.close()
+            self._tb = None

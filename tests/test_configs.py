@@ -49,3 +49,18 @@ def test_reference_registry_names_present():
         "Val_model_heatmap",
     ):
         registry.get("agent", name)
+
+
+def test_load_config_does_not_mutate_defaults(tmp_path):
+    """dict_update merges in place — load_config must deep-copy the
+    caller's defaults or one load poisons every later one."""
+    import yaml
+
+    from ssp.utils.config import load_config
+
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump({"model": {"nms": 8}}))
+    defaults = {"model": {"nms": 4}}
+    cfg = load_config(p, defaults)
+    assert cfg["model"]["nms"] == 8
+    assert defaults["model"]["nms"] == 4

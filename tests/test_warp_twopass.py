@@ -95,6 +95,22 @@ class TestVresamplePallas:
         want = np.einsum("iox,ix->ox", w, img)
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    def test_bottom_edge_no_double_count_small_image(self):
+        """S=20 (not a multiple of UNROLL=8): the unrolled band loop
+        overshoots past the last row — the overshot taps' weights must
+        be zeroed, not clamped onto the last row (which double-counted
+        it for coordinates near the bottom edge)."""
+        from ssp.kernels.vresample_pallas import vresample_pallas
+
+        S = 20
+        img = np.zeros((S, S), np.float32)
+        img[S - 1] = 1.0
+        rows = np.full((S, S), S - 1.5, np.float32)  # 0.5 weight on the last row
+        got = np.asarray(
+            vresample_pallas(jnp.asarray(img), jnp.asarray(rows), interpret=True)
+        )
+        np.testing.assert_allclose(got, np.full((S, S), 0.5), atol=1e-6)
+
     def test_vmap_adds_batch(self):
         from ssp.kernels.vresample_pallas import vresample_pallas
 
