@@ -89,7 +89,10 @@ def make_ha_fn(
 
     @jax.jit
     def warp_stage(keys: jax.Array, images: jnp.ndarray):
-        """[G], [G, H, W] → warp stack [G, N, H, W], Hs_inv."""
+        """[G], [G, H, W] → flat warp stack [G·N, H, W], Hs_inv [G·N, 3, 3]
+        (flattening in-stage saves a separate reshape dispatch per group
+        — dispatch count is the sustained-throughput limiter on the
+        tunnel link)."""
 
         def one(key, image):
             Hs = sample_homographies(key, num_h - 1, shift=-1.0, **h_params)
@@ -98,7 +101,9 @@ def make_ha_fn(
             imgs = jax.vmap(lambda Hm: warp(image[..., None], Hm))(Hs)
             return imgs[..., 0], inv3(Hs)
 
-        return jax.vmap(one)(keys, images)
+        imgs, Hs_inv = jax.vmap(one)(keys, images)
+        G, N, H_img, W_img = imgs.shape
+        return imgs.reshape(G * N, H_img, W_img), Hs_inv.reshape(G * N, 3, 3)
 
     from functools import partial
 
@@ -167,13 +172,12 @@ def make_ha_fn(
 
         return jax.vmap(one)(agg_nms, agg)
 
-    @jax.jit
-    def reshape_stage(imgs, Hs_inv):
-        G, N, H_img, W_img = imgs.shape
-        return (
-            imgs.reshape(G * N, H_img, W_img),
-            Hs_inv.reshape(G * N, 3, 3),
-        )
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnums=(0, 1, 2))
+    def init_acc(G, H_img, W_img):
+        z = jnp.zeros((G, H_img, W_img))
+        return z, z, z
 
     def ha(keys: jax.Array, images: jnp.ndarray):
         squeeze = images.ndim == 2
@@ -181,12 +185,9 @@ def make_ha_fn(
             images = images[None]
             keys = keys[None] if keys.ndim else jnp.stack([keys])
         G, H_img, W_img = images.shape
-        imgs, Hs_inv = warp_stage(keys, images)
-        imgs_f, hs_f = reshape_stage(imgs, Hs_inv)
+        imgs_f, hs_f = warp_stage(keys, images)
 
-        total = jnp.zeros((G, H_img, W_img))
-        counts = jnp.zeros((G, H_img, W_img))
-        maxs = jnp.zeros((G, H_img, W_img))
+        total, counts, maxs = init_acc(G, H_img, W_img)
         n_total = G * num_h
         all_g_idx = np.arange(n_total) // num_h
         for s in range(0, n_total, chunk):
@@ -237,22 +238,50 @@ def run_ha_export(
         sharding = batch_sharding(mesh)
 
     pending: list = []
+    # one group in flight: npz writes for group i−1 (which force a
+    # device sync via device_get) happen while group i computes — on a
+    # high-latency tunnel link, syncing every group serializes the
+    # dispatch round-trips and costs ~2× sustained throughput
+    inflight: list = []
+
+    def drain():
+        nonlocal count
+        for names, pts_b, valid_b in inflight:
+            for name, pts, valid in zip(names, pts_b, valid_b):
+                _write(out_dir / f"{name}.npz", pts, valid)
+                count += 1
+        inflight.clear()
+
+    # one dispatch for the whole group's keys: a per-image fold_in is
+    # a separate device round-trip each — on the tunnel that costs more
+    # than the group's compute
+    fold_keys = jax.jit(
+        lambda idxs: jax.vmap(lambda i: jax.random.fold_in(key, i))(idxs)
+    )
 
     def flush(pending):
-        nonlocal count
         if not pending:
             return
         n_real = len(pending)
         padded = pending + [pending[-1]] * (group - n_real)
-        keys = jnp.stack([k for _, _, k in padded])
-        imgs = jnp.stack([jnp.asarray(i) for _, i, _ in padded])
+        keys = fold_keys(jnp.asarray([i for _, _, i in padded]))
+        # host-side stack, one transfer (a jnp.stack of numpy arrays is
+        # a device_put per element plus a concat dispatch)
+        imgs = np.stack([np.asarray(i) for _, i, _ in padded])
         if sharding is not None:
             keys = jax.device_put(keys, sharding)
             imgs = jax.device_put(imgs, sharding)
-        pts_b, valid_b = ha_fn(keys, imgs)
-        for (name, _, _), pts, valid in list(zip(padded, pts_b, valid_b))[:n_real]:
-            _write(out_dir / f"{name}.npz", pts, valid)
-            count += 1
+        pts_b, valid_b = ha_fn(keys, imgs)  # async — no sync here
+        if n_real != group:  # slicing device arrays costs a dispatch
+            pts_b, valid_b = pts_b[:n_real], valid_b[:n_real]
+        prev, inflight[:] = list(inflight), [
+            ([n for n, _, _ in padded[:n_real]], pts_b, valid_b)
+        ]
+        nonlocal count
+        for names, pb, vb in prev:
+            for name, pts, valid in zip(names, pb, vb):
+                _write(out_dir / f"{name}.npz", pts, valid)
+                count += 1
         pending.clear()
 
     for idx, (name, img) in enumerate(images):
@@ -262,11 +291,11 @@ def run_ha_export(
         # fold_in by position, not sequential split: a resumed run must
         # assign each image the same homographies a fresh run would
         # (skipped images consume no PRNG state)
-        sub = jax.random.fold_in(key, idx)
-        pending.append((name, img, sub))
+        pending.append((name, img, idx))
         if len(pending) >= group:
             flush(pending)
     flush(pending)
+    drain()
     return count
 
 
