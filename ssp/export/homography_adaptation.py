@@ -10,13 +10,18 @@ TPU-native redesign: homography sampling, warping, the batched forward,
 inverse warping, aggregation, NMS and top-k all run on device with
 fixed shapes; the host only decodes images and writes npz.
 
-Staging: the chain is split into three separately-jitted programs —
-(1) sample+warp+mask for the full warp stack, (2) forward+back-warp+
-partial-aggregate per warp chunk, (3) aggregate+NMS+top-k.  One fused
-program is *possible* but XLA's fusion of the gather-warps into the
-convolutions exploded both compile time and runtime; staging keeps each
-program simple, bounds activation memory to one chunk, and still keeps
-every byte on device between stages.
+Program structure: the default is ONE jitted program per image group —
+sample+warp, a ``lax.scan`` over forward/back-warp chunks (the scan
+body compiles once and bounds activation memory to one chunk), then
+aggregate+NMS+top-k — so driving a group costs a single device
+round-trip; on a high-latency link (the TPU tunnel) dispatch
+round-trips, not compute, bound sustained export throughput.  A staged
+mode (``one_dispatch=False``) keeps the same chain as three separately
+jitted stages with donated accumulators — historically the default
+because *fully fusing* the chain (no scan: all warps unrolled) made XLA
+fuse the gather-warps into the convolutions and exploded both compile
+time and runtime; the scan form keeps the stages as distinct
+compiled regions inside one program.
 """
 
 from __future__ import annotations
@@ -73,13 +78,22 @@ def make_ha_fn(
     patch_size: int = 5,
     chunk: int = 100,
     use_twopass: bool = True,
+    one_dispatch: bool = True,
 ):
     """Build the per-image-group HA callable.
 
     Returns ``ha(keys [G], images [G, H, W]) → (pts [G, top_k, 3],
-    valid [G, top_k])`` — a Python function composing three jitted
-    stages (see module docstring).  Also callable with unbatched
-    ``(key, image [H, W])``.
+    valid [G, top_k])``.  Also callable with unbatched ``(key,
+    image [H, W])``.
+
+    ``one_dispatch=True`` (default) compiles the whole per-group chain —
+    warp stack, ``lax.scan`` over forward/back-warp chunks, aggregate,
+    NMS, top-k — into ONE XLA program, so driving a group costs a single
+    device round-trip.  The staged mode (``one_dispatch=False``) issues
+    ~``2 + num_h·G/chunk`` dispatches per group; on a high-latency link
+    (the TPU tunnel) those round-trips, not compute, bound sustained
+    export throughput.  Both modes share the same math; results agree to
+    fp32 accumulation order.
     """
     h_params = dict(homography_params or DEFAULT_HA["homographies"]["params"])
     chunk = min(chunk, num_h)
@@ -94,14 +108,7 @@ def make_ha_fn(
         — dispatch count is the sustained-throughput limiter on the
         tunnel link)."""
 
-        def one(key, image):
-            Hs = sample_homographies(key, num_h - 1, shift=-1.0, **h_params)
-            # identity in slot 0 (reference sets H[0]=I, Coco.py:271)
-            Hs = jnp.concatenate([jnp.eye(3)[None], Hs], axis=0)
-            imgs = jax.vmap(lambda Hm: warp(image[..., None], Hm))(Hs)
-            return imgs[..., 0], inv3(Hs)
-
-        imgs, Hs_inv = jax.vmap(one)(keys, images)
+        imgs, Hs_inv = jax.vmap(_sample_warp_one)(keys, images)
         G, N, H_img, W_img = imgs.shape
         return imgs.reshape(G * N, H_img, W_img), Hs_inv.reshape(G * N, 3, 3)
 
@@ -127,14 +134,7 @@ def make_ha_fn(
         erosion_radius ≥ 1 the bilinear back-warp's 1-px blend ring at
         the un-eroded boundary lies outside the eroded mask, so no
         padding garbage survives the mask multiply."""
-        out = apply_fn(variables, imgs[..., None], train=False)
-        heat = flatten_detection(out["semi"])[..., 0]
-        H_img, W_img = heat.shape[-2], heat.shape[-1]
-        back = jax.vmap(lambda h, Hm: warp(h[..., None], Hm)[..., 0])(heat, Hs_inv)
-        mask_back = jax.vmap(
-            lambda Hm: compute_valid_mask((H_img, W_img), Hm, erosion_radius)
-        )(Hs_inv)
-        back = back * mask_back
+        back, mask_back = _forward_backwarp(imgs, Hs_inv)
         G = total.shape[0]
         total = total + jax.ops.segment_sum(back, g_idx, num_segments=G)
         counts = counts + jax.ops.segment_sum(mask_back, g_idx, num_segments=G)
@@ -144,8 +144,7 @@ def make_ha_fn(
             )
         return total, counts, maxs
 
-    @jax.jit
-    def finish_stage(total, counts, maxs):
+    def _finish_impl(total, counts, maxs):
         if aggregation == "max":
             agg = maxs
         else:  # "sum" (mean over contributing warps)
@@ -172,6 +171,74 @@ def make_ha_fn(
 
         return jax.vmap(one)(agg_nms, agg)
 
+    finish_stage = jax.jit(_finish_impl)
+
+    def _sample_warp_one(key, image):
+        Hs = sample_homographies(key, num_h - 1, shift=-1.0, **h_params)
+        # identity in slot 0 (reference sets H[0]=I, Coco.py:271)
+        Hs = jnp.concatenate([jnp.eye(3)[None], Hs], axis=0)
+        imgs = jax.vmap(lambda Hm: warp(image[..., None], Hm))(Hs)
+        return imgs[..., 0], inv3(Hs)
+
+    def _forward_backwarp(imgs: jnp.ndarray, Hs_inv: jnp.ndarray):
+        """Flat [M, H, W] warp chunk → masked back-warped heat + the
+        shared closed-form mask (see forward_stage docstring)."""
+        out = apply_fn(variables, imgs[..., None], train=False)
+        heat = flatten_detection(out["semi"])[..., 0]
+        H_img, W_img = heat.shape[-2], heat.shape[-1]
+        back = jax.vmap(lambda h, Hm: warp(h[..., None], Hm)[..., 0])(heat, Hs_inv)
+        mask_back = jax.vmap(
+            lambda Hm: compute_valid_mask((H_img, W_img), Hm, erosion_radius)
+        )(Hs_inv)
+        return back * mask_back, mask_back
+
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def _build_one_dispatch(G: int):
+        # per-group warps per scan step: the largest divisor of num_h
+        # whose flat forward batch G·chunk_n stays within ``chunk`` —
+        # exact tiling, no padded warps to mask out
+        limit = max(1, chunk // G)
+        chunk_n = next(c for c in range(min(num_h, limit), 0, -1) if num_h % c == 0)
+        n_chunks = num_h // chunk_n
+
+        @jax.jit
+        def ha_one(keys: jax.Array, images: jnp.ndarray):
+            H_img, W_img = images.shape[1], images.shape[2]
+            imgs_w, Hs_inv = jax.vmap(_sample_warp_one)(keys, images)
+            # scan axis first; G stays axis 1 so a data-sharded group
+            # keeps every device busy on every scan step (scanning over
+            # a flat [G·N] layout would put one whole chunk per device
+            # and serialize the mesh)
+            imgs_c = imgs_w.reshape(G, n_chunks, chunk_n, H_img, W_img).transpose(
+                1, 0, 2, 3, 4
+            )
+            hs_c = Hs_inv.reshape(G, n_chunks, chunk_n, 3, 3).transpose(1, 0, 2, 3, 4)
+
+            def body(acc, inp):
+                total, counts, maxs = acc
+                ic, hc = inp
+                back, mask = _forward_backwarp(
+                    ic.reshape(G * chunk_n, H_img, W_img),
+                    hc.reshape(G * chunk_n, 3, 3),
+                )
+                bg = back.reshape(G, chunk_n, H_img, W_img)
+                mg = mask.reshape(G, chunk_n, H_img, W_img)
+                total = total + bg.sum(axis=1)
+                counts = counts + mg.sum(axis=1)
+                if aggregation == "max":
+                    maxs = jnp.maximum(maxs, bg.max(axis=1))
+                return (total, counts, maxs), None
+
+            z = jnp.zeros((G, H_img, W_img))
+            (total, counts, maxs), _ = jax.lax.scan(
+                body, (z, z, z), (imgs_c, hs_c)
+            )
+            return _finish_impl(total, counts, maxs)
+
+        return ha_one
+
     from functools import partial as _partial
 
     @_partial(jax.jit, static_argnums=(0, 1, 2))
@@ -185,6 +252,9 @@ def make_ha_fn(
             images = images[None]
             keys = keys[None] if keys.ndim else jnp.stack([keys])
         G, H_img, W_img = images.shape
+        if one_dispatch:
+            pts, valid = _build_one_dispatch(G)(keys, images)
+            return (pts[0], valid[0]) if squeeze else (pts, valid)
         imgs_f, hs_f = warp_stage(keys, images)
 
         total, counts, maxs = init_acc(G, H_img, W_img)
@@ -237,21 +307,6 @@ def run_ha_export(
 
         sharding = batch_sharding(mesh)
 
-    pending: list = []
-    # one group in flight: npz writes for group i−1 (which force a
-    # device sync via device_get) happen while group i computes — on a
-    # high-latency tunnel link, syncing every group serializes the
-    # dispatch round-trips and costs ~2× sustained throughput
-    inflight: list = []
-
-    def drain():
-        nonlocal count
-        for names, pts_b, valid_b in inflight:
-            for name, pts, valid in zip(names, pts_b, valid_b):
-                _write(out_dir / f"{name}.npz", pts, valid)
-                count += 1
-        inflight.clear()
-
     # one dispatch for the whole group's keys: a per-image fold_in is
     # a separate device round-trip each — on the tunnel that costs more
     # than the group's compute
@@ -259,9 +314,27 @@ def run_ha_export(
         lambda idxs: jax.vmap(lambda i: jax.random.fold_in(key, i))(idxs)
     )
 
-    def flush(pending):
-        if not pending:
-            return
+    def group_iter():
+        pending: list = []
+        for idx, (name, img) in enumerate(images):
+            if (out_dir / f"{name}.npz").exists():
+                continue
+            # fold_in by position, not sequential split: a resumed run
+            # must assign each image the same homographies a fresh run
+            # would (skipped images consume no PRNG state)
+            pending.append((name, img, idx))
+            if len(pending) >= group:
+                yield pending
+                pending = []
+        if pending:
+            yield pending
+
+    def stage(pending):
+        """Stack a group on the host and START its device transfer —
+        issued before the previous group's compute drains, so the
+        host→device copy rides under compute instead of serializing
+        with it (the transfer, not the stack, is what a high-latency
+        link charges for)."""
         n_real = len(pending)
         padded = pending + [pending[-1]] * (group - n_real)
         keys = fold_keys(jnp.asarray([i for _, _, i in padded]))
@@ -271,31 +344,47 @@ def run_ha_export(
         if sharding is not None:
             keys = jax.device_put(keys, sharding)
             imgs = jax.device_put(imgs, sharding)
+        else:
+            imgs = jax.device_put(imgs)  # async; commits off the hot path
+        return [n for n, _, _ in padded[:n_real]], keys, imgs, n_real
+
+    def write_out(names, pts_b, valid_b):
+        nonlocal count
+        for name, pts, valid in zip(names, pts_b, valid_b):
+            _write(out_dir / f"{name}.npz", pts, valid)
+            count += 1
+
+    # software pipeline, one group of each kind in flight:
+    #   transfer(i+1)  ∥  compute(i)  ∥  npz-write(i−1)
+    # npz writes force a device sync (device_get); syncing every group
+    # would serialize the round-trips and cost ~2× sustained throughput
+    groups = group_iter()
+    staged = None
+    inflight = None
+    for nxt in groups:
+        if staged is None:
+            staged = stage(nxt)
+            continue
+        names, keys, imgs, n_real = staged
         pts_b, valid_b = ha_fn(keys, imgs)  # async — no sync here
         if n_real != group:  # slicing device arrays costs a dispatch
             pts_b, valid_b = pts_b[:n_real], valid_b[:n_real]
-        prev, inflight[:] = list(inflight), [
-            ([n for n, _, _ in padded[:n_real]], pts_b, valid_b)
-        ]
-        nonlocal count
-        for names, pb, vb in prev:
-            for name, pts, valid in zip(names, pb, vb):
-                _write(out_dir / f"{name}.npz", pts, valid)
-                count += 1
-        pending.clear()
-
-    for idx, (name, img) in enumerate(images):
-        out_file = out_dir / f"{name}.npz"
-        if out_file.exists():
-            continue
-        # fold_in by position, not sequential split: a resumed run must
-        # assign each image the same homographies a fresh run would
-        # (skipped images consume no PRNG state)
-        pending.append((name, img, idx))
-        if len(pending) >= group:
-            flush(pending)
-    flush(pending)
-    drain()
+        for a in (pts_b, valid_b):  # start result copy-back early
+            getattr(a, "copy_to_host_async", lambda: None)()
+        staged = stage(nxt)
+        if inflight is not None:
+            write_out(*inflight)
+        inflight = (names, pts_b, valid_b)
+    if staged is not None:
+        names, keys, imgs, n_real = staged
+        pts_b, valid_b = ha_fn(keys, imgs)
+        if n_real != group:
+            pts_b, valid_b = pts_b[:n_real], valid_b[:n_real]
+        if inflight is not None:
+            write_out(*inflight)
+        inflight = (names, pts_b, valid_b)
+    if inflight is not None:
+        write_out(*inflight)
     return count
 
 

@@ -113,6 +113,26 @@ class TestHAExport:
         pts, valid = ha(jax.random.key(1), img)
         assert np.isfinite(np.asarray(pts)).all()
 
+    def test_ha_one_dispatch_matches_staged(self):
+        """The single-program (lax.scan) HA and the staged-jit HA are the
+        same math — results must agree to fp32 accumulation order."""
+        from ssp.export.homography_adaptation import make_ha_fn
+
+        model = build_model("SuperPointNet_gauss2", dtype=jnp.float32)
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 48, 64, 1)), train=False)
+        kw = dict(num_h=6, chunk=4, top_k=20, conf_thresh=0.0)
+        ha_one = make_ha_fn(model.apply, variables, one_dispatch=True, **kw)
+        ha_staged = make_ha_fn(model.apply, variables, one_dispatch=False, **kw)
+        rng = np.random.default_rng(5)
+        imgs = jnp.asarray(rng.uniform(size=(3, 48, 64)).astype(np.float32))
+        keys = jax.random.split(jax.random.key(9), 3)
+        pts_a, val_a = ha_one(keys, imgs)
+        pts_b, val_b = ha_staged(keys, imgs)
+        np.testing.assert_array_equal(np.asarray(val_a), np.asarray(val_b))
+        np.testing.assert_allclose(
+            np.asarray(pts_a), np.asarray(pts_b), atol=1e-4
+        )
+
     def test_ha_resume_assigns_same_homographies(self, tmp_path):
         """Interrupted-then-resumed exports must produce the same
         pseudo-labels as a fresh run with the same seed (per-image PRNG
