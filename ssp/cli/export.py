@@ -66,7 +66,7 @@ def export_detector_homoAdapt(config: dict, exper_name: str) -> None:
         nms_radius=int(m.get("nms", 4)),
         subpixel=bool(sub.get("enable", False)),
         patch_size=int(sub.get("patch_size", 5)),
-        one_dispatch=bool(ha_cfg.get("one_dispatch", True)),
+        one_dispatch=bool(ha_cfg.get("one_dispatch", False)),
     )
     exper = ExperimentPaths(exper_name)
     out_dir = exper.predictions / type(dataset).split_dir(split)

@@ -10,18 +10,20 @@ TPU-native redesign: homography sampling, warping, the batched forward,
 inverse warping, aggregation, NMS and top-k all run on device with
 fixed shapes; the host only decodes images and writes npz.
 
-Program structure: the default is ONE jitted program per image group —
-sample+warp, a ``lax.scan`` over forward/back-warp chunks (the scan
-body compiles once and bounds activation memory to one chunk), then
-aggregate+NMS+top-k — so driving a group costs a single device
-round-trip; on a high-latency link (the TPU tunnel) dispatch
-round-trips, not compute, bound sustained export throughput.  A staged
-mode (``one_dispatch=False``) keeps the same chain as three separately
-jitted stages with donated accumulators — historically the default
-because *fully fusing* the chain (no scan: all warps unrolled) made XLA
-fuse the gather-warps into the convolutions and exploded both compile
-time and runtime; the scan form keeps the stages as distinct
-compiled regions inside one program.
+Staging: the chain is split into three separately-jitted programs —
+(1) sample+warp for the full warp stack, (2) forward+back-warp+
+partial-aggregate per warp chunk (donated accumulators), (3)
+aggregate+NMS+top-k.  One fused program is *possible* but XLA's fusion
+of the gather-warps into the convolutions exploded both compile time
+and runtime; staging keeps each program simple, bounds activation
+memory to one chunk, and still keeps every byte on device between
+stages.  A single-program mode (``one_dispatch=True``: the same chain
+with a ``lax.scan`` over forward/back-warp chunks) was built on the
+hypothesis that dispatch round-trips bound sustained throughput on the
+high-latency tunnel link — measured FALSE: the async dispatch queue
+already hides round-trips, and the scan's chunk transposes cost ~5%
+(kernel 29.1→27.5 img/s, sustained 27.5→25.4).  Kept as a tested
+option for genuinely enqueue-bound transports.
 """
 
 from __future__ import annotations
@@ -78,7 +80,7 @@ def make_ha_fn(
     patch_size: int = 5,
     chunk: int = 100,
     use_twopass: bool = True,
-    one_dispatch: bool = True,
+    one_dispatch: bool = False,
 ):
     """Build the per-image-group HA callable.
 
@@ -86,14 +88,13 @@ def make_ha_fn(
     valid [G, top_k])``.  Also callable with unbatched ``(key,
     image [H, W])``.
 
-    ``one_dispatch=True`` (default) compiles the whole per-group chain —
-    warp stack, ``lax.scan`` over forward/back-warp chunks, aggregate,
-    NMS, top-k — into ONE XLA program, so driving a group costs a single
-    device round-trip.  The staged mode (``one_dispatch=False``) issues
-    ~``2 + num_h·G/chunk`` dispatches per group; on a high-latency link
-    (the TPU tunnel) those round-trips, not compute, bound sustained
-    export throughput.  Both modes share the same math; results agree to
-    fp32 accumulation order.
+    The default composes three jitted stages (module docstring);
+    ``one_dispatch=True`` compiles the whole per-group chain — warp
+    stack, ``lax.scan`` over forward/back-warp chunks, aggregate, NMS,
+    top-k — into ONE XLA program (a group costs a single device
+    round-trip, but the scan measures ~5% slower end-to-end even on the
+    tunnel link; see module docstring).  Both modes share the same
+    math; results agree to fp32 accumulation order.
     """
     h_params = dict(homography_params or DEFAULT_HA["homographies"]["params"])
     chunk = min(chunk, num_h)
@@ -350,6 +351,10 @@ def run_ha_export(
 
     def write_out(names, pts_b, valid_b):
         nonlocal count
+        # ONE transfer for the whole group: iterating the device arrays
+        # would device_get per image row — 2·G round-trips per group,
+        # which on the tunnel link costs more than the group's compute
+        pts_b, valid_b = jax.device_get((pts_b, valid_b))
         for name, pts, valid in zip(names, pts_b, valid_b):
             _write(out_dir / f"{name}.npz", pts, valid)
             count += 1
