@@ -21,6 +21,28 @@ mirrors the reference so its users can switch over; see ``ssp.registry``.
 
 __version__ = "0.1.0"
 
+# numpy madvise(HUGEPAGE)s every allocation >=4 MB; on VMs whose memory
+# faults through a balloon (this rig's firecracker kernel) hugepage
+# first-touch runs at ~7 MB/s — a fresh 400 MB array takes ~40 s to
+# fill (measured; 0.2 s with madvise off, a 200x difference that
+# dominated dataset load + corpus staging).  Disable it at import time;
+# set SSP_NUMPY_HUGEPAGE=1 to keep numpy's default on bare metal.
+import os as _os
+
+if _os.environ.get("SSP_NUMPY_HUGEPAGE", "0") != "1":
+    try:
+        try:
+            from numpy._core.multiarray import (
+                _set_madvise_hugepage as _smh,
+            )
+        except ImportError:  # numpy < 2
+            from numpy.core.multiarray import (
+                _set_madvise_hugepage as _smh,
+            )
+        _smh(False)
+    except Exception:  # pragma: no cover - numpy internals moved
+        pass
+
 from ssp import registry  # noqa: F401
 
 # Populate the registries (import side effects register the names the

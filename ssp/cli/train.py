@@ -42,10 +42,16 @@ def train_joint(
     # decode thread pools, same config keys as the reference's torch
     # DataLoader workers (configs/*: training.workers_train)
     training_cfg = config.get("training") or {}
-    agent.train_loader = Prefetcher(train_set.batches(
-        bs, shuffle=True, seed=seed,
-        workers=int(training_cfg.get("workers_train", 4)),
-    ))
+    if training_cfg.get("device_corpus"):
+        # upload the whole corpus to HBM once; training samples batches
+        # on device (zero steady-state host->device transfers — see
+        # ssp/data/device_corpus.py for why this matters on this rig)
+        agent.attach_device_corpus(train_set)
+    else:
+        agent.train_loader = Prefetcher(train_set.batches(
+            bs, shuffle=True, seed=seed,
+            workers=int(training_cfg.get("workers_train", 4)),
+        ))
     agent.val_loader = val_set.batches(
         int(config["model"].get("eval_batch_size", bs)), shuffle=False, seed=seed,
         workers=int(training_cfg.get("workers_val", 2)),

@@ -40,6 +40,18 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: int = 0) -> Any:
-    """device_put a pytree with dimension ``axis`` sharded over the mesh."""
-    sharding = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    """device_put a pytree with dimension ``axis`` sharded over the mesh.
+
+    A leaf whose ``axis`` dimension is not divisible by the mesh size is
+    replicated instead (e.g. a validation batch smaller than the
+    data-parallel degree picked for the training batch): results are
+    identical, each device just computes the full batch redundantly."""
+    n = int(np.prod(mesh.devices.shape))
+    sharded = batch_sharding(mesh, axis)
+    replicated = replicate_sharding(mesh)
+
+    def put(x):
+        divisible = np.ndim(x) > axis and x.shape[axis] % n == 0
+        return jax.device_put(x, sharded if divisible else replicated)
+
+    return jax.tree_util.tree_map(put, batch)

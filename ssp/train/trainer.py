@@ -245,6 +245,14 @@ class TrainAgent:
 
             self.multi_train_step = jax.jit(multi_step, donate_argnums=(0,))
 
+        # device-resident corpus mode (see ssp/data/device_corpus.py):
+        # attach_device_corpus uploads the dataset once and training
+        # samples batches on device — zero host->device transfers in
+        # steady state (tunnel staging-buffer leak mitigation + no
+        # per-step host round-trip)
+        self.device_corpus = None
+        self.corpus_train_step = None
+
         pretrained = self.config.get("pretrained")
         if pretrained and not self.config.get("retrain", False):
             mode = "full" if not self.config.get("reset_iter", True) else "weights"
@@ -254,6 +262,39 @@ class TrainAgent:
                 reset_iter=bool(self.config.get("reset_iter", True)),
             )
             self.n_iter = int(self.state.step) * self.r
+
+    def attach_device_corpus(self, dataset) -> None:
+        """Upload ``dataset`` to the mesh and build the fused
+        sample->prep->step dispatch (scan of ``steps_per_dispatch``).
+        Replaces ``train_loader`` for the training stream; validation
+        keeps the host loader."""
+        from ssp.data.device_corpus import DeviceCorpus
+
+        self.device_corpus = DeviceCorpus.from_dataset(dataset, self.mesh)
+        dc = self.device_corpus
+        prep = self._prep_train
+        spd = self.steps_per_dispatch
+        bs = self.real_batch_size
+
+        def corpus_step(state, corpus, key):
+            keys = jax.random.split(key, spd)
+
+            def body(st, k):
+                k_samp, k_prep, k_step = jax.random.split(k, 3)
+                raw = dc.sample(corpus, k_samp, bs, self.mesh)
+                batch = prep(k_prep, raw)
+                st, metrics = self.train_step(st, batch, k_step)
+                return st, metrics
+
+            state, metrics = jax.lax.scan(body, state, keys)
+            return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+        self.corpus_train_step = jax.jit(corpus_step, donate_argnums=(0,))
+        log.info(
+            "device corpus attached: %d samples, %s",
+            dc.n,
+            {k: (v.shape, str(v.dtype)) for k, v in dc.arrays.items()},
+        )
 
     @staticmethod
     def _photo_cfg(cfg: Dict[str, Any], split: str) -> Dict[str, Any]:
@@ -288,7 +329,9 @@ class TrainAgent:
 
     # -- loop ---------------------------------------------------------
     def train(self) -> None:
-        assert self.train_loader is not None, "set train_loader first"
+        assert self.train_loader is not None or self.device_corpus is not None, (
+            "set train_loader or attach_device_corpus first"
+        )
         logger = MetricsLogger(self.exper, "train")
         tb_int = self.config["tensorboard_interval"]
         val_int = self.config["validation_interval"]
@@ -353,7 +396,11 @@ class TrainAgent:
                     )
                     prof_active = True
                 key, k_prep, k_step = jax.random.split(key, 3)
-                if self.steps_per_dispatch > 1:
+                if self.device_corpus is not None:
+                    self.state, metrics = self.corpus_train_step(
+                        self.state, self.device_corpus.arrays, k_step
+                    )
+                elif self.steps_per_dispatch > 1:
                     raws = [next(self.train_loader) for _ in range(self.steps_per_dispatch)]
                     stacked = jax.tree_util.tree_map(
                         lambda *xs: np.stack(xs), *raws
