@@ -252,6 +252,7 @@ class TrainAgent:
         # per-step host round-trip)
         self.device_corpus = None
         self.corpus_train_step = None
+        self._corpus_key = None
 
         pretrained = self.config.get("pretrained")
         if pretrained and not self.config.get("retrain", False):
@@ -277,7 +278,16 @@ class TrainAgent:
         bs = self.real_batch_size
 
         def corpus_step(state, corpus, key):
-            keys = jax.random.split(key, spd)
+            # the carried key is split *inside* the program and the
+            # advanced key returned: the host loop runs exactly ONE
+            # device op per dispatch.  Per-iteration host-side
+            # `jax.random.split` + unpacking cost 4 extra tiny device
+            # programs each, and on the high-latency tunnel every
+            # in-flight program can pay a full round-trip (~230 ms) —
+            # measured 925 ms/dispatch from the loop vs 1.3 ms enqueue
+            # when the dispatch is a single fused program.
+            key, k_seq = jax.random.split(key)
+            keys = jax.random.split(k_seq, spd)
 
             def body(st, k):
                 k_samp, k_prep, k_step = jax.random.split(k, 3)
@@ -287,9 +297,9 @@ class TrainAgent:
                 return st, metrics
 
             state, metrics = jax.lax.scan(body, state, keys)
-            return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+            return state, jax.tree_util.tree_map(lambda m: m[-1], metrics), key
 
-        self.corpus_train_step = jax.jit(corpus_step, donate_argnums=(0,))
+        self.corpus_train_step = jax.jit(corpus_step, donate_argnums=(0, 2))
         log.info(
             "device corpus attached: %d samples, %s",
             dc.n,
@@ -395,12 +405,18 @@ class TrainAgent:
                         prof_cfg.get("logdir", str(self.exper.root / "profile"))
                     )
                     prof_active = True
-                key, k_prep, k_step = jax.random.split(key, 3)
                 if self.device_corpus is not None:
-                    self.state, metrics = self.corpus_train_step(
-                        self.state, self.device_corpus.arrays, k_step
+                    # single device op per dispatch: the PRNG key is
+                    # carried through the program (see corpus_step) —
+                    # no per-iteration split/unpack programs on the link
+                    if self._corpus_key is None:
+                        key, k0 = jax.random.split(key)
+                        self._corpus_key = k0
+                    self.state, metrics, self._corpus_key = self.corpus_train_step(
+                        self.state, self.device_corpus.arrays, self._corpus_key
                     )
                 elif self.steps_per_dispatch > 1:
+                    key, k_prep, k_step = jax.random.split(key, 3)
                     raws = [next(self.train_loader) for _ in range(self.steps_per_dispatch)]
                     stacked = jax.tree_util.tree_map(
                         lambda *xs: np.stack(xs), *raws
@@ -410,6 +426,7 @@ class TrainAgent:
                         self.state, stacked, k_step
                     )
                 else:
+                    key, k_prep, k_step = jax.random.split(key, 3)
                     host_batch = next(self.train_loader)
                     batch = self._prep_train(k_prep, shard_batch(host_batch, self.mesh))
                     self.state, metrics = self.train_step(self.state, batch, k_step)
@@ -498,9 +515,15 @@ class TrainAgent:
                 agg.setdefault(k, []).append(float(v))
         scalars = {k: float(np.mean(v)) for k, v in agg.items()}
         if first_batch is not None:
+            self._residual_offsets = None
             err = self._residual_diagnostic(first_batch)
             if err is not None:
                 scalars["subpix_residual_err"] = err
+            if getattr(self, "_residual_offsets", None) is not None:
+                logger.log_histogram(
+                    step_label, "val/subpix_residual_offsets",
+                    self._residual_offsets,
+                )
         logger.log(step_label, scalars, prefix="val_")
         if first_batch is not None:
             self._log_val_images(logger, first_batch, step_label)
@@ -518,6 +541,8 @@ class TrainAgent:
 
                 apply_fn = self.state.apply_fn
 
+                from ssp.postprocess.points import soft_argmax_refine
+
                 def residual_fn(params, stats, images, points, points_valid):
                     out = apply_fn(
                         {"params": params, "batch_stats": stats}, images,
@@ -527,19 +552,27 @@ class TrainAgent:
 
                     def one(h, p, v):
                         r = jnp.round(p[:, :2])
-                        return subpixel_residual_loss(h, r, p[:, :2] - r, v)
+                        loss = subpixel_residual_loss(h, r, p[:, :2] - r, v)
+                        # per-point predicted offsets for the TB
+                        # histogram (reference logs residual
+                        # distributions, Train_model_frontend_all.py:568)
+                        pts3 = jnp.concatenate(
+                            [r, jnp.zeros_like(r[:, :1])], axis=-1
+                        )
+                        off = soft_argmax_refine(h, pts3)[:, :2] - r
+                        return loss, off
 
-                    return jnp.mean(
-                        jax.vmap(one)(heat, points, points_valid)
-                    )
+                    losses, offs = jax.vmap(one)(heat, points, points_valid)
+                    return jnp.mean(losses), offs, points_valid
 
                 self._residual_fn = jax.jit(residual_fn)
-            return float(
-                self._residual_fn(
-                    self.state.params, self.state.batch_stats,
-                    batch["image"], batch["points"], batch["points_valid"],
-                )
+            err, offs, valid = self._residual_fn(
+                self.state.params, self.state.batch_stats,
+                batch["image"], batch["points"], batch["points_valid"],
             )
+            offs = np.asarray(offs)[np.asarray(valid)]
+            self._residual_offsets = offs  # picked up by _validate
+            return float(err)
         except Exception:  # diagnostics must never kill training
             log.exception("residual diagnostic failed")
             return None

@@ -95,6 +95,21 @@ class MetricsLogger:
         with self._tb.as_default():
             tf.summary.image(name, img[None], step=int(step))
 
+    def log_histogram(self, step: int, name: str, values) -> None:
+        """Log a value distribution to TensorBoard (reference logs
+        subpixel-residual histograms,
+        ``Train_model_frontend_all.py:568-571``)."""
+        if self._tb is None:
+            return
+        import numpy as np
+        import tensorflow as tf
+
+        vals = np.asarray(values).reshape(-1)
+        if vals.size == 0:
+            return
+        with self._tb.as_default():
+            tf.summary.histogram(name, vals, step=int(step))
+
     def close(self) -> None:
         self._jsonl.close()
         if self._tb is not None:
