@@ -21,6 +21,19 @@ TPU-first: the reference loops Python over the batch and mixes CPU/GPU
 batch is a single ``vmap`` — fixed 1000×100 shapes, fully on device.
 Selection-with-replacement among valid matches replaces the host
 permutation+pad (``crop_or_pad_choice``); acceptance is metric parity.
+
+MXU structure (the descriptor grid is tiny — Hc·Wc ≈ 300 cells): the
+naive formulation gathers [M, N, D] descriptor rows for the non-match
+hinge (600·60·256 ≈ 9.2 M elements per sample; TPU gathers run
+~100 M elem/s, and this single indexing op dominated the whole train
+step at 73 of 115 ms fwd+bwd).  Instead we compute the full Gram matrix
+``G = D_match @ D_all^T`` ([M, Hc·Wc], one small matmul) and read the
+N random dot products per match out of it with a one-hot contraction —
+matmul + VPU work, zero row gathers.  Bilinear match sampling likewise
+becomes a hat-weight matmul (same trick as
+``ssp.postprocess.points.sample_descriptors_mxu``).  All matmuls run at
+``Precision.HIGHEST`` so results stay fp32-faithful to the gather
+formulation.
 """
 
 from __future__ import annotations
@@ -31,7 +44,31 @@ import jax
 import jax.numpy as jnp
 
 from ssp.core.homography import scale_homography, warp_points
-from ssp.core.warp import bilinear_sample
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _bilinear_mxu(dmap: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear descriptor lookup as a hat-weight matmul.
+
+    dmap: [Hc, Wc, D]; uv: [M, 2] (x, y) in grid pixel units.  Exactly
+    ``ssp.core.warp.bilinear_sample``'s zero-pad semantics: the hat
+    weights vanish outside the grid.
+    """
+    Hc, Wc, D = dmap.shape
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(uv[:, 0:1] - jnp.arange(Wc)[None, :]))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(uv[:, 1:2] - jnp.arange(Hc)[None, :]))
+    w = (wy[:, :, None] * wx[:, None, :]).reshape(uv.shape[0], Hc * Wc)
+    return jnp.dot(w, dmap.reshape(Hc * Wc, D), precision=_HI)
+
+
+def _rows_mxu(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """flat[idx] ([M, D] row lookup) as a one-hot matmul — row gathers
+    from a ≈300-row table are slower than the tiny matmul on TPU."""
+    onehot = (idx[:, None] == jnp.arange(flat.shape[0])[None, :]).astype(
+        flat.dtype
+    )
+    return jnp.dot(onehot, flat, precision=_HI)
 
 
 def _sample_valid_indices(key: jax.Array, valid: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -80,12 +117,12 @@ def descriptor_loss_sparse(
     if method == "2d":
         def desc_at(dmap, uv):
             scale = jnp.array([(Wc - 1) / Wc, (Hc - 1) / Hc])
-            return bilinear_sample(dmap, uv * scale)
+            return _bilinear_mxu(dmap, uv * scale)
     else:
         def desc_at(dmap, uv):
             ix = jnp.clip(uv[:, 0].astype(jnp.int32), 0, Wc - 1)
             iy = jnp.clip(uv[:, 1].astype(jnp.int32), 0, Hc - 1)
-            return dmap.reshape(-1, dmap.shape[-1])[iy * Wc + ix]
+            return _rows_mxu(dmap.reshape(-1, dmap.shape[-1]), iy * Wc + ix)
 
     da = desc_at(desc, m_a)  # [M, D]
     db = desc_at(desc_warped, m_b)
@@ -112,20 +149,29 @@ def descriptor_loss_sparse(
     nm_u = wrap(nm_u + perturb, float(Wc - 1))
     nm_v = wrap(nm_v + perturb, float(Hc - 1))
 
-    # 1-d indexed descriptor lookups (reference non-match path is "1d")
+    # 1-d indexed descriptor lookups (reference non-match path is "1d").
+    # Gram reformulation: nm_dot[m, n] = d_a(m) · d_b(idx_b[m, n]) is a
+    # read from G = D_a_match @ D_b_all^T — one [M, Hc·Wc] matmul plus a
+    # one-hot contraction, replacing the [M, N, D] row-gather (the old
+    # hot spot: ~9 M gathered elements per sample).
     flat_b = desc_warped.reshape(-1, D)
     flat_a = desc.reshape(-1, D)
     idx_b = (
         jnp.clip(nm_u.astype(jnp.int32), 0, Wc - 1)
         + jnp.clip(nm_v.astype(jnp.int32), 0, Hc - 1) * Wc
     )  # [M, N]
-    idx_a = (
-        m_a[:, 0].astype(jnp.int32) + m_a[:, 1].astype(jnp.int32) * Wc
-    )[:, None]  # [M, 1] broadcast over N
+    idx_a = m_a[:, 0].astype(jnp.int32) + m_a[:, 1].astype(jnp.int32) * Wc  # [M]
 
-    d_nm_b = flat_b[idx_b]                     # [M, N, D]
-    d_nm_a = flat_a[jnp.broadcast_to(idx_a, (M, N))]
-    nm_dot = jnp.sum(d_nm_a * d_nm_b, axis=-1)
+    d_nm_a = _rows_mxu(flat_a, idx_a)                     # [M, D]
+    gram = jnp.dot(d_nm_a, flat_b.T, precision=_HI)       # [M, Hc·Wc]
+    # nm_dot[m, n] = gram[m, idx_b[m, n]] — one-hot contraction (XLA
+    # fuses the broadcast-compare-multiply-reduce; no materialized
+    # [M, N, C] tensor reaches HBM)
+    cells = jnp.arange(Hc * Wc, dtype=jnp.int32)
+    nm_dot = jnp.sum(
+        jnp.where(idx_b[:, :, None] == cells[None, None, :], gram[:, None, :], 0.0),
+        axis=-1,
+    )
     nm_hinge = jnp.maximum(nm_dot - margin_neg, 0.0)
     num_hard = jnp.sum(nm_hinge > 0.0)
     non_match_loss = jnp.sum(nm_hinge) / (num_hard + 1.0)

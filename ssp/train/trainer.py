@@ -183,6 +183,7 @@ class TrainAgent:
             multi_task=bool(m.get("multi_task_loss", False)),
             ignore_class=int(data.get("ignore_class", 133)),
         )
+        self._step_kwargs = dict(step_kwargs)  # for variant rebuilds (profiling)
         self.train_step, self.eval_step = make_train_step(**step_kwargs)
         # reference-exact micro-batch gradient accumulation (summed
         # grads, per-micro BN) — optional; the default is the real
