@@ -140,6 +140,107 @@ class TestSparseDescriptorLoss:
             assert np.isfinite(float(v))
 
 
+class TestSparseMXUFormulation:
+    """The MXU restructuring (Gram matrix + one-hot contractions,
+    descriptor_sparse.py) must be value-equivalent to the plain gather
+    formulation it replaced."""
+
+    def test_bilinear_mxu_matches_gather(self):
+        from ssp.core.warp import bilinear_sample
+        from ssp.losses.descriptor_sparse import _bilinear_mxu
+
+        rng = np.random.default_rng(3)
+        dmap = jnp.asarray(rng.normal(size=(8, 10, 16)).astype(np.float32))
+        uv = jnp.asarray(
+            rng.uniform(-0.5, 10.0, size=(50, 2)).astype(np.float32)
+        )
+        got = np.asarray(_bilinear_mxu(dmap, uv))
+        want = np.asarray(bilinear_sample(dmap, uv))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_rows_mxu_matches_index(self):
+        from ssp.losses.descriptor_sparse import _rows_mxu
+
+        rng = np.random.default_rng(4)
+        flat = jnp.asarray(rng.normal(size=(80, 16)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 80, size=(33,)))
+        np.testing.assert_allclose(
+            np.asarray(_rows_mxu(flat, idx)), np.asarray(flat[idx]), atol=1e-6
+        )
+
+    def test_full_loss_matches_gather_twin(self):
+        """End-to-end: the shipped loss equals a straight-line gather
+        re-derivation (same RNG stream, same sampling logic)."""
+        from ssp.core.homography import scale_homography, warp_points
+        from ssp.core.warp import bilinear_sample
+        from ssp.losses.descriptor_sparse import descriptor_loss_sparse
+
+        M, N = 40, 7
+        rng = np.random.default_rng(5)
+        Hc, Wc, D = 8, 10, 16
+        d1 = rng.normal(size=(Hc, Wc, D)).astype(np.float32)
+        d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+        d2 = rng.normal(size=(Hc, Wc, D)).astype(np.float32)
+        d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+        d1, d2 = jnp.asarray(d1), jnp.asarray(d2)
+        Hp = jnp.asarray(
+            [[1.02, 0.01, 0.03], [-0.02, 0.98, -0.01], [0.0, 0.0, 1.0]],
+            jnp.float32,
+        )
+        key = jax.random.key(11)
+
+        def gather_twin():
+            k_choice, k_nm, k_ps, k_pm = jax.random.split(key, 4)
+            vy, vx = jnp.meshgrid(jnp.arange(Hc), jnp.arange(Wc), indexing="ij")
+            uv_a = jnp.stack([vx, vy], -1).reshape(-1, 2).astype(jnp.float32)
+            H_cells = scale_homography(Hp, (Hc, Wc))
+            uv_b = jnp.round(warp_points(uv_a, H_cells))
+            valid = ((uv_b[:, 0] >= 0) & (uv_b[:, 0] <= Wc - 1)
+                     & (uv_b[:, 1] >= 0) & (uv_b[:, 1] <= Hc - 1))
+            logits = jnp.where(valid, 0.0, -1e9)
+            choice = jax.random.categorical(k_choice, logits, shape=(M,))
+            m_a, m_b = uv_a[choice], uv_b[choice]
+            scale = jnp.array([(Wc - 1) / Wc, (Hc - 1) / Hc])
+            da = bilinear_sample(d1, m_a * scale)
+            db = bilinear_sample(d2, m_b * scale)
+            match = jnp.mean(jnp.maximum(1.0 - jnp.sum(da * db, -1), 0.0))
+
+            rand_flat = jax.random.randint(k_nm, (M * N,), 0, Hc * Wc)
+            nm_u = (rand_flat % Wc).astype(jnp.float32).reshape(M, N)
+            nm_v = (rand_flat // Wc).astype(jnp.float32).reshape(M, N)
+            du = jnp.abs(m_b[:, 0:1] - nm_u)
+            dv = jnp.abs(m_b[:, 1:2] - nm_v)
+            close = ((du < 1.0) | (dv < 1.0)).reshape(-1)
+            sign = jnp.floor(jax.random.uniform(k_ps, (M * N,)) * 2.0) - 0.5
+            noise = jax.random.normal(k_pm, (M * N,)) * 10.0 + sign
+            pert = jnp.where(close, noise, 0.0).reshape(M, N)
+
+            def wrap(x, upper):
+                x = jnp.where(x > upper, x - upper, x)
+                return jnp.where(x < 0.0, x + upper, x)
+
+            nm_u = wrap(nm_u + pert, float(Wc - 1))
+            nm_v = wrap(nm_v + pert, float(Hc - 1))
+            fb = d2.reshape(-1, D)
+            fa = d1.reshape(-1, D)
+            idx_b = (jnp.clip(nm_u.astype(jnp.int32), 0, Wc - 1)
+                     + jnp.clip(nm_v.astype(jnp.int32), 0, Hc - 1) * Wc)
+            idx_a = (m_a[:, 0].astype(jnp.int32)
+                     + m_a[:, 1].astype(jnp.int32) * Wc)[:, None]
+            dot = jnp.sum(fa[jnp.broadcast_to(idx_a, (M, N))] * fb[idx_b], -1)
+            hinge = jnp.maximum(dot - 0.2, 0.0)
+            non_match = jnp.sum(hinge) / (jnp.sum(hinge > 0.0) + 1.0)
+            return match + non_match, match, non_match
+
+        got = descriptor_loss_sparse(
+            key, d1, d2, Hp, num_matching_attempts=M,
+            num_masked_non_matches_per_match=N, method="2d",
+        )
+        want = gather_twin()
+        for g, w in zip(got, want):
+            assert float(g) == pytest.approx(float(w), abs=2e-5)
+
+
 class TestMultiTaskLoss:
     def test_formula(self):
         etas = init_etas()
