@@ -115,6 +115,38 @@ class TestPrepareBatch:
                     yi, xi = int(round(y)), int(round(x))
                     assert wl[b, max(yi-1,0):yi+2, max(xi-1,0):xi+2].max() == 1.0
 
+    def test_tpu_twopass_branch_matches_gather(self, monkeypatch):
+        """On TPU backends _warp_sample routes the image resample through
+        the gather-free two-pass warp; its output must agree with the
+        gather path CI actually runs.  Monkeypatch the backend probe and
+        use a non-multiple-of-32 size so the two-pass takes its XLA
+        fallback (the Mosaic kernel needs TPU hardware)."""
+        import ssp.data.pipeline as pl
+
+        rng = np.random.default_rng(7)
+        B, H, W = 2, 100, 150
+        images = jnp.asarray(rng.uniform(size=(B, H, W)).astype(np.float32))
+        pts = jnp.asarray(rng.uniform(20, 80, (B, 4, 2)).astype(np.float32))
+        valid = jnp.ones((B, 4), bool)
+        pair_cfg = {"enable": True, "params": {"allow_artifacts": False,
+                                               "patch_ratio": 0.7}}
+
+        ref = pl.prepare_batch(jax.random.key(9), images, pts, valid,
+                               warped_pair=pair_cfg)
+        monkeypatch.setattr(pl.jax, "default_backend", lambda: "tpu")
+        got = pl.prepare_batch(jax.random.key(9), images, pts, valid,
+                               warped_pair=pair_cfg)
+        # identical homography draws (same key), so only the resampler
+        # differs: two-pass ≈ direct bilinear to sub-pixel detail
+        np.testing.assert_allclose(
+            np.asarray(got["H_pair"]), np.asarray(ref["H_pair"]), atol=1e-6
+        )
+        a = np.asarray(got["warped_image"][..., 0])
+        b = np.asarray(ref["warped_image"][..., 0])
+        # agreement in the interior (borders differ by pad handling)
+        diff = np.abs(a - b)[:, 8:-8, 8:-8]
+        assert np.mean(diff) < 5e-3 and np.percentile(diff, 99) < 5e-2
+
     def test_pair_built_from_clean_content(self, monkeypatch):
         """The warped pair must warp the *un-augmented* image and apply
         photometric independently (reference 'warp original image',
