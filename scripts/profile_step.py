@@ -14,7 +14,10 @@ tunnel's donated-aliased buffers make block_until_ready lie; only a
 host read truly synchronizes, and the diff cancels that fixed cost).
 
 Env: SSP_BENCH_CFG (config path, default v3 joint), SSP_PROF_SPD
-(scan length per dispatch, default 20).
+(scan length per dispatch, default 20), SSP_PROF_FAKE_CORPUS=n (skip
+dataset materialization and upload n random samples instead — timing
+does not depend on corpus content, and the real corpus can take
+~20 min of host loading + several GB of HBM).
 """
 import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import os, time
@@ -39,7 +42,29 @@ cfg["steps_per_dispatch"] = SPD
 agent_cls = registry.get("agent", cfg["front_end_model"])
 agent = agent_cls(cfg, save_path=ExperimentPaths("profile_step"),
                   exper_name="profile_step")
-agent.attach_device_corpus(make_dataset(cfg, "train"))
+fake_n = int(os.environ.get("SSP_PROF_FAKE_CORPUS", "0"))
+if fake_n:
+    import numpy as np_
+
+    h, w = (cfg["data"].get("preprocessing") or {}).get("resize", [120, 160])
+    rng = np_.random.default_rng(0)
+
+    class _Fake:
+        def __len__(self):
+            return fake_n
+
+        def __getitem__(self, i):
+            r = np_.random.default_rng(i)
+            return {
+                "image": r.uniform(size=(h, w)).astype(np_.float32),
+                "points": r.uniform(5, min(h, w) - 5, (48, 2)).astype(np_.float32),
+                "points_valid": np_.ones((48,), bool),
+                "name": str(i),
+            }
+
+    agent.attach_device_corpus(_Fake())
+else:
+    agent.attach_device_corpus(make_dataset(cfg, "train"))
 dc = agent.device_corpus
 prep = agent._prep_train
 bs = agent.real_batch_size
@@ -100,6 +125,10 @@ VARIANTS = [
     ("+grad-nodesc", make_body_step(nodesc_step)),
     ("full", make_body_step(agent.train_step)),
 ]
+only = os.environ.get("SSP_PROF_ONLY")
+if only:
+    names = {s.strip() for s in only.split(",")}
+    VARIANTS = [v for v in VARIANTS if v[0] in names]
 
 
 def run(dispatch, n, state, key):
