@@ -49,13 +49,18 @@ class DeviceCorpus:
         self.n = int(n)
 
     @classmethod
-    def from_dataset(cls, dataset, mesh=None, max_bytes: int = 4 << 30
-                     ) -> "DeviceCorpus":
+    def from_dataset(cls, dataset, mesh=None, max_bytes: int = 4 << 30,
+                     quantize: bool = False) -> "DeviceCorpus":
         """Materialize ``dataset`` (any ``ImageDataset``) and upload.
 
         Images that are exact ``k/255`` grids are stored uint8 (4x
         smaller, bit-exact after the in-sampler ``/255``); synthetic
-        float images stay float32.  Raises if the corpus would exceed
+        float images stay float32 unless ``quantize=True`` forces the
+        uint8 rounding (≤ 1/510 absolute pixel error — far below the
+        photometric-augmentation noise floor).  The 4x matters beyond
+        HBM: on this rig host→device bulk uploads run ~3 MB/s through
+        the tunnel, so a 3.2 GB float corpus costs ~18 minutes of
+        startup vs ~4.5 quantized.  Raises if the corpus would exceed
         ``max_bytes`` — fall back to the streaming loader then.
         """
         samples = [dataset[i] for i in range(len(dataset))]
@@ -63,8 +68,8 @@ class DeviceCorpus:
         host = {k: np.stack([s[k] for s in samples]) for k in keys}
         img = host["image"]
         q = np.round(img * 255.0)
-        if np.allclose(q / 255.0, img, atol=1e-7):
-            host["image"] = q.astype(np.uint8)
+        if quantize or np.allclose(q / 255.0, img, atol=1e-7):
+            host["image"] = np.clip(q, 0.0, 255.0).astype(np.uint8)
         nbytes = sum(v.nbytes for v in host.values())
         if nbytes > max_bytes:
             raise ValueError(

@@ -272,7 +272,14 @@ class TrainAgent:
         keeps the host loader."""
         from ssp.data.device_corpus import DeviceCorpus
 
-        self.device_corpus = DeviceCorpus.from_dataset(dataset, self.mesh)
+        self.device_corpus = DeviceCorpus.from_dataset(
+            dataset, self.mesh,
+            quantize=bool(
+                (self.config.get("training") or {}).get(
+                    "device_corpus_quantize", False
+                )
+            ),
+        )
         dc = self.device_corpus
         prep = self._prep_train
         spd = self.steps_per_dispatch

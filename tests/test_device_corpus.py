@@ -78,6 +78,21 @@ class TestDeviceCorpus:
         dc2 = DeviceCorpus.from_dataset(Floaty())
         assert dc2.arrays["image"].dtype == jnp.float32
 
+        # forced quantization (training.device_corpus_quantize): stores
+        # uint8 with <= 1/510 absolute error even for inexact floats
+        dc3 = DeviceCorpus.from_dataset(Floaty(), quantize=True)
+        assert dc3.arrays["image"].dtype == jnp.uint8
+        batch = dc3.sample(dc3.arrays, jax.random.key(0), 2)
+        assert batch["image"].dtype == jnp.float32
+        src = np.stack([Floaty()[i]["image"] for i in range(2)])
+        got = np.asarray(batch["image"])
+        # sampling is random-with-replacement: compare each sampled row
+        # to its best-matching source row
+        err = max(
+            min(np.abs(g - s).max() for s in src) for g in got
+        )
+        assert err <= (1.0 / 510.0) + 1e-6
+
     def test_max_bytes_guard(self, tmp_path):
         ds = _tiny_dataset(tmp_path)
         try:
