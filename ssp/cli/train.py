@@ -104,6 +104,44 @@ def main() -> None:
     train_joint(config, args.exper_name, debug=args.debug, eval_only=args.eval)
 
 
+def watched_call(cmd, exper: "ExperimentPaths", stall_s: float,
+                 poll_s: float = 30.0) -> int:
+    """Run ``cmd`` in a child; kill it (rc 124) if the experiment's
+    metrics files stop progressing for ``stall_s`` seconds."""
+    import subprocess
+    import time
+
+    log_ = logging.getLogger("ssp.train.supervisor")
+
+    def progress_mtime() -> float:
+        latest = 0.0
+        for name in ("metrics_train.jsonl", "metrics_val.jsonl"):
+            p = exper.root / name
+            if p.exists():
+                latest = max(latest, p.stat().st_mtime)
+        return latest
+
+    child = subprocess.Popen(cmd)
+    last = time.time()
+    last_mtime = progress_mtime()
+    while True:
+        r = child.poll()
+        if r is not None:
+            return r
+        time.sleep(poll_s)
+        m = progress_mtime()
+        if m > last_mtime:
+            last_mtime, last = m, time.time()
+        elif time.time() - last > stall_s:
+            log_.error(
+                "no metrics progress for %.0f s — killing hung child %d",
+                stall_s, child.pid,
+            )
+            child.kill()
+            child.wait()
+            return 124
+
+
 def run_supervised(
     command: str, config_path: str, exper_name: str, max_restarts: int,
     debug: bool = False,
@@ -115,8 +153,16 @@ def run_supervised(
 
     This is the process-granularity recovery the reference approximates
     with its Ctrl-C handler (``train4.py:96-102``) — but it also covers
-    failures Python never sees."""
-    import subprocess
+    failures Python never sees.
+
+    Hang detection: the TPU tunnel can die mid-op and leave the child
+    blocked forever inside a device call (observed: a ~1 h link outage
+    froze a run at iter 110k with the process alive at 7% CPU).  The
+    supervisor watches the experiment's metrics files; if nothing
+    progresses for ``SSP_STALL_TIMEOUT_S`` seconds (default 2400 —
+    generous enough for corpus upload + first compile), the child is
+    killed and resumed from the newest checkpoint like a crash."""
+    import os
     import sys
 
     import yaml
@@ -124,13 +170,15 @@ def run_supervised(
     from ssp.train.checkpoint import latest_checkpoint
 
     log_ = logging.getLogger("ssp.train.supervisor")
+    stall_s = float(os.environ.get("SSP_STALL_TIMEOUT_S", "2400"))
     cfg_file = config_path
     rc = 1
+
     for attempt in range(max_restarts + 1):
         cmd = [sys.executable, "-m", "ssp.cli.train", command, cfg_file, exper_name]
         if debug:
             cmd.append("--debug")
-        rc = subprocess.call(cmd)
+        rc = watched_call(cmd, ExperimentPaths(exper_name), stall_s)
         if rc == 0:
             return 0
         exper = ExperimentPaths(exper_name)

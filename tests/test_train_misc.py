@@ -113,3 +113,48 @@ class TestRssWatchdog:
         agent.train_loader = self._loader(tmp_path)
         agent.train()
         assert int(agent.state.step) == 6
+
+
+class TestWatchedCall:
+    def test_kills_hung_child(self, tmp_path):
+        """A child that never writes metrics is killed after stall_s
+        (the tunnel-outage hang mode) and reports rc 124."""
+        import sys
+        import time
+
+        from ssp.cli.train import watched_call
+        from ssp.utils.experiment import ExperimentPaths
+
+        exper = ExperimentPaths("hang", tmp_path)
+        t0 = time.time()
+        rc = watched_call(
+            [sys.executable, "-c", "import time; time.sleep(600)"],
+            exper, stall_s=1.0, poll_s=0.2,
+        )
+        assert rc == 124
+        assert time.time() - t0 < 60
+
+    def test_progressing_child_not_killed(self, tmp_path):
+        """A child that keeps touching metrics_train.jsonl outlives a
+        stall budget shorter than its runtime."""
+        import sys
+
+        from ssp.cli.train import watched_call
+        from ssp.utils.experiment import ExperimentPaths
+
+        exper = ExperimentPaths("alive", tmp_path)
+        exper.root.mkdir(parents=True, exist_ok=True)
+        # child lives ~8 s (well past stall_s=4) but writes every 0.5 s —
+        # only the progress-mtime reset keeps it alive (generous margins:
+        # this host runs 1-core and python startup alone can take ~2 s)
+        prog = (
+            "import pathlib, time\n"
+            f"p = pathlib.Path({str(exper.root / 'metrics_train.jsonl')!r})\n"
+            "for i in range(16):\n"
+            "    p.write_text(str(i))\n"
+            "    time.sleep(0.5)\n"
+        )
+        rc = watched_call(
+            [sys.executable, "-c", prog], exper, stall_s=4.0, poll_s=0.2
+        )
+        assert rc == 0
