@@ -144,17 +144,19 @@ class TestWatchedCall:
 
         exper = ExperimentPaths("alive", tmp_path)
         exper.root.mkdir(parents=True, exist_ok=True)
-        # child lives ~8 s (well past stall_s=4) but writes every 0.5 s —
-        # only the progress-mtime reset keeps it alive (generous margins:
-        # this host runs 1-core and python startup alone can take ~2 s)
+        # child lives ~8 s (past stall_s=6) but writes every 0.2 s — only
+        # the progress-mtime reset keeps it alive.  Margins are wide (30×
+        # the write interval) because this 1-core host can starve a child
+        # for seconds when other processes compete; the first write lands
+        # before the sleep so interpreter startup never eats the budget.
         prog = (
             "import pathlib, time\n"
             f"p = pathlib.Path({str(exper.root / 'metrics_train.jsonl')!r})\n"
-            "for i in range(16):\n"
+            "for i in range(40):\n"
             "    p.write_text(str(i))\n"
-            "    time.sleep(0.5)\n"
+            "    time.sleep(0.2)\n"
         )
         rc = watched_call(
-            [sys.executable, "-c", prog], exper, stall_s=4.0, poll_s=0.2
+            [sys.executable, "-c", prog], exper, stall_s=6.0, poll_s=0.2
         )
         assert rc == 0
