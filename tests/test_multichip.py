@@ -104,6 +104,53 @@ class TestBatchNormSharding:
                         jax.tree_util.tree_leaves(sharded)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_bn_cross_replica_under_shard_map(self):
+        """``bn_cross_replica=True`` binds BN's ``axis_name`` so that
+        under ``shard_map`` (where reductions are per-device, unlike
+        jit/GSPMD) the statistics are still the GLOBAL-batch ones: the
+        shard_map forward must reproduce the unsharded global-batch
+        forward — both outputs and updated batch_stats."""
+        from jax.sharding import PartitionSpec as P
+
+        from ssp.parallel import DATA_AXIS
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(size=(8, 16, 16, 1)).astype(np.float32))
+
+        cross = build_model(
+            "SuperPointNet_gauss2", dtype=jnp.float32, bn_cross_replica=True
+        )
+        plain = build_model("SuperPointNet_gauss2", dtype=jnp.float32)
+        variables = plain.init(jax.random.key(0), x[:1], train=True)
+
+        @jax.jit
+        def global_fwd(v, xx):
+            out, mut = plain.apply(v, xx, train=True, mutable=["batch_stats"])
+            return out["semi"], mut["batch_stats"]
+
+        semi_ref, stats_ref = global_fwd(variables, x)
+
+        def shard_fwd(v, xx):
+            out, mut = cross.apply(v, xx, train=True, mutable=["batch_stats"])
+            return out["semi"], mut["batch_stats"]
+
+        mesh = make_mesh()
+        semi_sm, stats_sm = jax.jit(
+            jax.shard_map(
+                shard_fwd,
+                mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS)),
+                out_specs=(P(DATA_AXIS), P()),
+            )
+        )(variables, x)
+
+        np.testing.assert_allclose(
+            np.asarray(semi_sm), np.asarray(semi_ref), atol=2e-4
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(stats_sm),
+                        jax.tree_util.tree_leaves(stats_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
 
 class TestShardedTrainer:
     def test_multistep_sharded_full_mesh(self, tmp_path):
