@@ -7,9 +7,18 @@ consumes (`<sem_labels>/semantic_<split>2017/<stem>.png`, reference
 `datasets/Coco_sem.py:200-216`): ids pass through the built-in
 133-class `label_mapping`, so this exercises the real remap path.
 
-Bin 0 (darkest pixels) is written as raw id 0, which the table maps to
-the ignore class 133 — the masked-CE ignore path sees real traffic.
-Bins 1..N map to raw ids 1..N (train ids 0..N-1).
+The intensity→class mapping is one FIXED global LUT shared by every
+image and split: the (gaussian-smoothed) gray value is split into 134
+uniform bins — bin 0 is written as raw id 0 (→ ignore class 133, so the
+masked-CE ignore path sees real traffic) and bins 1..133 map to the 133
+REAL panoptic category ids of the built-in table in order.  Fixed +
+global is deliberate: every one of the 133 train classes receives
+traffic (full-width CE), *and* the task is learnable — the class of a
+pixel is a deterministic function of its local appearance, so sem loss
+/ mIoU trajectories are meaningful.  (An earlier per-image-rotated
+variant had full class traffic but no image-independent signal, pinning
+CE at ln 133.)  Smoothing (sigma 4) makes label regions contiguous,
+segmentation-like blobs rather than per-pixel speckle.
 
 Usage: python scripts/make_coco_sem_labels.py [--root datasets/COCO240]
 """
@@ -23,13 +32,20 @@ from pathlib import Path
 import cv2
 import numpy as np
 
+from ssp.data.coco_labels import N_CLASSES, PANOPTIC_IDS
+
 ap = argparse.ArgumentParser()
 ap.add_argument("--root", default="datasets/COCO240")
-ap.add_argument("--classes", type=int, default=6, help="non-ignore bins")
+ap.add_argument("--sigma", type=float, default=4.0, help="pre-LUT smoothing")
 args = ap.parse_args()
 
+ids = np.asarray(PANOPTIC_IDS, np.uint8)
+# fixed global LUT: 256 gray values → 134 uniform bins → raw ids
+bin_of = (np.arange(256) * (N_CLASSES + 1)) // 256  # 0..133
+lut = np.zeros(256, np.uint8)
+lut[bin_of > 0] = ids[bin_of[bin_of > 0] - 1]
+
 root = Path(args.root)
-qs = np.linspace(0, 1, args.classes + 2)[1:-1]  # +1 edge for the ignore bin
 for split in ("train2017", "val2017"):
     img_dir = root / split
     out_dir = root / "annotations" / f"semantic_{split}"
@@ -37,8 +53,6 @@ for split in ("train2017", "val2017"):
     files = sorted(img_dir.glob("*.jpg"))
     for f in files:
         img = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
-        edges = np.quantile(img, qs)
-        # digitize → 0..classes; 0 becomes raw id 0 (→ ignore 133)
-        raw = np.digitize(img, edges).astype(np.uint8)
-        cv2.imwrite(str(out_dir / f"{f.stem}.png"), raw)
+        sm = cv2.GaussianBlur(img, (0, 0), args.sigma)
+        cv2.imwrite(str(out_dir / f"{f.stem}.png"), lut[sm])
     print(split, len(files), "->", out_dir, flush=True)
