@@ -279,6 +279,17 @@ def make_ha_fn(
     return ha
 
 
+# one dispatch for a whole group's keys — a per-image fold_in is a
+# separate device round-trip each — and MODULE-level so the jit cache
+# survives across run_ha_export calls (a per-call closure recompiled
+# inside every export run: ~1 s over the tunnel, −25% on short runs).
+# fold_in by position, not sequential split: a resumed run must assign
+# each image the same homographies a fresh run would.
+@jax.jit
+def _fold_keys(key, idxs):
+    return jax.vmap(lambda i: jax.random.fold_in(key, i))(idxs)
+
+
 def run_ha_export(
     ha_fn,
     images: Iterable[Tuple[str, np.ndarray]],
@@ -287,6 +298,7 @@ def run_ha_export(
     seed: int = 0,
     group: int = 1,
     mesh=None,
+    depth: int = 3,
 ) -> int:
     """Drive the export: iterate (name, image) pairs, skip existing npz
     (restartability — reference ``export.py:297-301``), write
@@ -296,6 +308,14 @@ def run_ha_export(
     shard the group over its ``data`` axis (each device runs whole
     images — the reference's DataParallel split one image's warp stack
     instead, ``export.py:260``).
+
+    ``depth`` is the software-pipeline depth: results are fetched
+    ``depth`` groups after they were dispatched.  On the tunnel link a
+    blocking fetch drains the dispatch queue — fetching the group that
+    was just computed costs a full round-trip of dead device time per
+    group (measured 28.5 → 21.8 img/s at depth 1); by the time a
+    depth-3-late fetch happens the bytes are already on the host
+    (``copy_to_host_async``) and the queue stays full.
     """
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -307,13 +327,6 @@ def run_ha_export(
         from ssp.parallel import batch_sharding
 
         sharding = batch_sharding(mesh)
-
-    # one dispatch for the whole group's keys: a per-image fold_in is
-    # a separate device round-trip each — on the tunnel that costs more
-    # than the group's compute
-    fold_keys = jax.jit(
-        lambda idxs: jax.vmap(lambda i: jax.random.fold_in(key, i))(idxs)
-    )
 
     def group_iter():
         pending: list = []
@@ -338,7 +351,10 @@ def run_ha_export(
         link charges for)."""
         n_real = len(pending)
         padded = pending + [pending[-1]] * (group - n_real)
-        keys = fold_keys(jnp.asarray([i for _, _, i in padded]))
+        # idxs as a HOST array: an eager jnp.asarray is a device op
+        # that queues behind in-flight compute groups — on the tunnel
+        # that blocked the host ~58 ms/group (measured −6 img/s)
+        keys = _fold_keys(key, np.asarray([i for _, _, i in padded]))
         # host-side stack, one transfer (a jnp.stack of numpy arrays is
         # a device_put per element plus a concat dispatch)
         imgs = np.stack([np.asarray(i) for _, i, _ in padded])
@@ -359,37 +375,37 @@ def run_ha_export(
             _write(out_dir / f"{name}.npz", pts, valid)
             count += 1
 
-    # software pipeline, one group of each kind in flight:
-    #   transfer(i+1)  ∥  compute(i)  ∥  npz-write(i−1)
-    # npz writes force a device sync (device_get); syncing every group
-    # would serialize the round-trips and cost ~2× sustained throughput
-    groups = group_iter()
-    staged = None
-    inflight = None
-    for nxt in groups:
-        if staged is None:
-            staged = stage(nxt)
-            continue
+    # software pipeline, ``depth`` result groups in flight:
+    #   transfer(i+1)  ∥  compute(i)  ∥  npz-write(i−depth)
+    # npz writes force a device-result fetch; fetching the group that
+    # just computed leaves the device idle for a tunnel round-trip per
+    # group (measured −23% sustained), so fetches lag dispatch by
+    # ``depth`` groups — the async copy-back has landed by then and the
+    # device queue never drains.  Results are ~top_k·3 floats/image, so
+    # holding a few groups is free.
+    from collections import deque
+
+    def compute(staged):
         names, keys, imgs, n_real = staged
         pts_b, valid_b = ha_fn(keys, imgs)  # async — no sync here
         if n_real != group:  # slicing device arrays costs a dispatch
             pts_b, valid_b = pts_b[:n_real], valid_b[:n_real]
         for a in (pts_b, valid_b):  # start result copy-back early
             getattr(a, "copy_to_host_async", lambda: None)()
+        return names, pts_b, valid_b
+
+    inflight: deque = deque()
+    staged = None
+    for nxt in group_iter():
+        if staged is not None:
+            inflight.append(compute(staged))
         staged = stage(nxt)
-        if inflight is not None:
-            write_out(*inflight)
-        inflight = (names, pts_b, valid_b)
+        while len(inflight) > depth:
+            write_out(*inflight.popleft())
     if staged is not None:
-        names, keys, imgs, n_real = staged
-        pts_b, valid_b = ha_fn(keys, imgs)
-        if n_real != group:
-            pts_b, valid_b = pts_b[:n_real], valid_b[:n_real]
-        if inflight is not None:
-            write_out(*inflight)
-        inflight = (names, pts_b, valid_b)
-    if inflight is not None:
-        write_out(*inflight)
+        inflight.append(compute(staged))
+    while inflight:
+        write_out(*inflight.popleft())
     return count
 
 
