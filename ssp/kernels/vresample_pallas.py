@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 UNROLL = 8
 TILE_O = 32
+TILE_X = 128
 KILL = -10.0  # rows value marking "no source" (warp_twopass uses -10)
 
 
@@ -82,15 +83,24 @@ def vresample_pallas(
     S = img.shape[0]
     to = min(TILE_O, S)
     assert S % to == 0, f"S={S} must be a multiple of {to}"
+    # 2-D tiling: the source band a tile must scan is set by how much
+    # ``rows`` varies ACROSS the tile, and for a rotation θ the
+    # variation along x is ~tanθ·width — with full-width tiles a 20°
+    # warp at S=1280 scans ~450 source rows per tile.  Splitting x into
+    # 128-lane strips bounds the band by ~tanθ·128 instead (measured
+    # 2.5× on the 384×1248 KITTI warp stack).  x is the OUTER grid dim
+    # so the [S, TILE_X] image strip is revisited, not re-fetched,
+    # across the o-tiles that share it.
+    tx = TILE_X if S % TILE_X == 0 else S
     kernel = functools.partial(_vres_kernel, s_img=S)
     return pl.pallas_call(
         kernel,
-        grid=(S // to,),
+        grid=(S // tx, S // to),
         in_specs=[
-            pl.BlockSpec((S, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((to, S), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, tx), lambda x, o: (0, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((to, tx), lambda x, o: (o, x), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((to, S), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((to, tx), lambda x, o: (o, x), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, S), jnp.float32),
         interpret=interpret,
     )(img.astype(jnp.float32), rows.astype(jnp.float32))

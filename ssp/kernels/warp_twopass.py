@@ -26,6 +26,7 @@ tests).  Zero padding semantics match.
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -120,8 +121,21 @@ def _hresample(img: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _twopass_square(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:
+def _twopass_square(
+    img: jnp.ndarray,
+    Hm: jnp.ndarray,
+    keep1: Optional[jnp.ndarray] = None,
+    keep2: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """out(p) = img(Hm·p) on a square [S, S(, C)] canvas, |rotation|≲45°.
+
+    ``keep1 [S]`` / ``keep2 [S, S]`` mark which pass-1 output rows /
+    pass-2 output pixels are actually consumed downstream (the caller
+    crops to the content rectangle after the rotation un-bucketing);
+    coordinates outside are set to the kill value so the Pallas
+    resample's per-tile source band is empty and the tile costs ~zero.
+    On a 384×1248 image the square canvas is 3.25× the content — the
+    crop-aware kill recovers most of that tax (measured below).
 
     Derivation: with Hm = [[a,b,c],[d,e,f],[g,h,i]] mapping output
     normalized (x, y) to source (u, v):
@@ -151,6 +165,8 @@ def _twopass_square(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:
     rows = (v1 + 1.0) * to_pix
     # kill rows where the solve ran away (x far outside the canvas)
     rows = jnp.where(jnp.abs(x_src) <= 1.5, rows, -10.0)
+    if keep1 is not None:
+        rows = jnp.where(keep1[:, None], rows, -10.0)
     tmp = _vresample(img, rows)
 
     # ---- pass 2: horizontal resample.  grid over (y, x_out)
@@ -159,6 +175,8 @@ def _twopass_square(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:
     w2 = g * xo + h * yy + i
     u = (a * xo + b * yy + c) / jnp.where(jnp.abs(w2) < 1e-8, 1e-8, w2)
     cols = (u + 1.0) * to_pix
+    if keep2 is not None:
+        cols = jnp.where(keep2, cols, -10.0)
     return _hresample(tmp, cols)
 
 
@@ -181,6 +199,11 @@ def inv_warp_image_twopass(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:
         img = img[..., None]
     H_px, W_px = img.shape[0], img.shape[1]
     S = max(H_px, W_px)
+    if jax.default_backend() == "tpu" and S > 128:
+        # round the canvas to a 128 multiple: the Pallas resample then
+        # x-tiles at lane width (bounded source bands), and the extra
+        # padding is dead-on-arrival under the crop-aware kill masks
+        S = -(-S // 128) * 128
 
     # embed into a square canvas (top-left) and conjugate Hm with the
     # affine between canvas-normalized and image-normalized coords:
@@ -199,7 +222,23 @@ def inv_warp_image_twopass(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:
     # branches under vmap and select — a 4× tax on the resampling.)
     rk_inv = jnp.stack([_rot_k((4 - kk) % 4) for kk in range(4)])  # [4,3,3]
     Hres = Hc @ rk_inv[k]
-    mid = _twopass_square(canvas, Hres)
+
+    # crop-aware kill masks: the final ``rot90(mid, k)[:H, :W]`` crop
+    # consumes only a content rectangle of ``mid`` (k=0: rows<H, cols<W;
+    # k=1: rows<W, cols≥S−H; k=2: rows≥S−H, cols≥S−W; k=3: rows≥S−W,
+    # cols<H).  Everything else is dead work on the padded square
+    # canvas — marking those outputs killed lets the Pallas resample's
+    # per-tile band go empty, so the tiles cost ~nothing (at 384×1248
+    # the canvas is 3.25× the content).  Table-indexed by k, like the
+    # homography — no control flow under vmap.
+    rlo = jnp.array([0, 0, S - H_px, S - W_px])[k]
+    rhi = jnp.array([H_px, W_px, S, S])[k]
+    clo = jnp.array([0, S - H_px, S - W_px, 0])[k]
+    chi = jnp.array([W_px, S, S, H_px])[k]
+    ar = jnp.arange(S)
+    keep1 = (ar >= rlo) & (ar < rhi)
+    keep2 = keep1[:, None] & (ar[None, :] >= clo) & (ar[None, :] < chi)
+    mid = _twopass_square(canvas, Hres, keep1=keep1, keep2=keep2)
 
     # out(p) = mid(Rk·p): with Rk the CCW rotation of normalized coords,
     # out[i, j] = mid[j, S-1-i] for k=1 — exactly jnp.rot90(mid, k) on

@@ -118,10 +118,14 @@ class TestPrepareBatch:
     def test_tpu_twopass_branch_matches_gather(self, monkeypatch):
         """On TPU backends _warp_sample routes the image resample through
         the gather-free two-pass warp; its output must agree with the
-        gather path CI actually runs.  Monkeypatch the backend probe and
-        use a non-multiple-of-32 size so the two-pass takes its XLA
-        fallback (the Mosaic kernel needs TPU hardware)."""
+        gather path CI actually runs.  Monkeypatch the backend probe,
+        and pin the resampler to its XLA fallback (the Mosaic kernel
+        needs TPU hardware; on TPU the canvas is also rounded to a
+        128-multiple, which this still exercises)."""
         import ssp.data.pipeline as pl
+        import ssp.kernels.warp_twopass as wt
+
+        monkeypatch.setattr(wt, "_use_pallas", lambda size: False)
 
         rng = np.random.default_rng(7)
         B, H, W = 2, 100, 150
