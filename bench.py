@@ -37,15 +37,19 @@ def build_pipeline():
     from ssp.core.grid import flatten_detection
     from ssp.kernels.nms_pallas import nms_pallas
     from ssp.models import build_model
+    from ssp.models.fast_infer import make_fast_apply
     from ssp.postprocess.points import sample_descriptors_mxu
 
     model = build_model("SuperPointNet_gauss2", dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.key(0), jnp.zeros((1, H, W, 1), jnp.float32), train=False
     )
+    # folded-BN forward with the Pallas packed stem (1.5x XLA on the
+    # stem convs; parity vs model.apply in tests/test_fast_infer.py)
+    fast_apply = make_fast_apply(variables, input_hw=(H, W))
 
     def detect_describe(images):
-        out = model.apply(variables, images, train=False)
+        out = fast_apply(images)
         heat = flatten_detection(out["semi"])[..., 0]  # [B, H, W]
         # fused Pallas NMS + border removal (one kernel, one HBM pass)
         nmsed = nms_pallas(heat, radius=4, border=4)

@@ -45,7 +45,9 @@ def main():
         jax.random.key(0), jnp.zeros((1, H, W, 1), jnp.float32), train=False
     )
     variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
-    ha = make_ha_fn(model.apply, variables, num_h=NUM_H, top_k=600)
+    from ssp.models.fast_infer import best_apply_fn
+
+    ha = make_ha_fn(best_apply_fn(model, variables), variables, num_h=NUM_H, top_k=600)
 
     if "--sustained" in sys.argv:
         return sustained(ha)

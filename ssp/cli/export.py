@@ -54,8 +54,10 @@ def export_detector_homoAdapt(config: dict, exper_name: str) -> None:
     ha_cfg = config["data"].get("homography_adaptation", {})
     m = config["model"]
     sub = m.get("subpixel", {})
+    from ssp.models.fast_infer import best_apply_fn
+
     ha_fn = make_ha_fn(
-        model.apply,
+        best_apply_fn(model, variables),
         variables,
         num_h=int(ha_cfg.get("num", 100)),
         homography_params=ha_cfg.get("homographies", {}).get("params"),
@@ -100,8 +102,10 @@ def export_descriptor(config: dict, exper_name: str) -> None:
     model, variables = _load_variables(config, size)
     m = config["model"]
     sub = m.get("subpixel", {})
+    from ssp.models.fast_infer import best_apply_fn
+
     dd_fn = make_detect_describe_fn(
-        model.apply,
+        best_apply_fn(model, variables),
         variables,
         top_k=int(m.get("top_k", 1000)),
         conf_thresh=float(m.get("detection_threshold", 0.015)),
@@ -134,8 +138,10 @@ def export_sequence(config: dict, exper_name: str) -> None:
     model, variables = _load_variables(config, size)
     m = config["model"]
     sub = m.get("subpixel", {})
+    from ssp.models.fast_infer import best_apply_fn
+
     dd_fn = make_detect_describe_fn(
-        model.apply, variables,
+        best_apply_fn(model, variables), variables,
         top_k=int(m.get("top_k", 1000)),
         conf_thresh=float(m.get("detection_threshold", 0.015)),
         nms_radius=int(m.get("nms", 4)),

@@ -64,9 +64,12 @@ class ValAgent:
         if self._jitted is None:
             assert self._variables is not None, "load_model first"
             variables = self._variables
+            from ssp.models.fast_infer import best_apply_fn
+
+            apply_fn = best_apply_fn(self.model, variables)
 
             def run(image):
-                out = self.model.apply(variables, image[None, ..., None], train=False)
+                out = apply_fn(variables, image[None, ..., None], train=False)
                 heat = flatten_detection(out["semi"])[0, ..., 0]
                 pts, valid = extract_keypoints(
                     heat, k=self.top_k, conf_thresh=self.conf_thresh,
