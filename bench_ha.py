@@ -47,7 +47,7 @@ def main():
     variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
     from ssp.models.fast_infer import best_apply_fn
 
-    ha = make_ha_fn(best_apply_fn(model, variables), variables, num_h=NUM_H, top_k=600)
+    ha = make_ha_fn(best_apply_fn(model, variables, input_hw=(H, W)), variables, num_h=NUM_H, top_k=600)
 
     if "--sustained" in sys.argv:
         return sustained(ha)

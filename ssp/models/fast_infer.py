@@ -28,7 +28,7 @@ the deployed FLOP budget.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -146,23 +146,52 @@ def _forward(x: jnp.ndarray, folded, use_packed: bool,
     return out
 
 
+def packed_stem_profitable(input_hw: Tuple[int, int]) -> bool:
+    """True when the x-pair-packed Pallas stem should win at this shape.
+
+    The packed layout puts ``W/2`` positions on the 128-wide lane axis,
+    so the kernel pads ``W/2`` up to a multiple of 128 and burns that
+    fraction of MXU work.  Measured HA-kernel A/B on v5e
+    (``scripts/bench_fwd_ab_240.py`` / ``_kitti.py``):
+
+      480×640  (w_half 320 → 17% pad): packed 1215 vs flax 938 img/s
+      384×1248 (w_half 624 →  2% pad): packed 18.1 vs flax 14.6 img/s
+      240×320  (w_half 160 → 38% pad): packed 28.1 vs flax 29.6 img/s
+
+    so the gate is the measured knee: pad waste ≤ 25% (plus the
+    kernel's H/W % 16 alignment requirement).  Below it the plain flax
+    ``model.apply`` is the fastest forward (the folded-BN XLA-stem
+    variant measured *slower* than flax there — 26.5 img/s — so
+    ``best_apply_fn`` falls back to flax, not to the folded path).
+    """
+    H, W = input_hw
+    if H % 16 or W % 16:
+        return False
+    w_half = W // 2
+    pad = (-w_half) % 128
+    return pad / (w_half + pad) <= 0.25
+
+
 def make_fast_apply(
     variables: Dict[str, Any],
     *,
     input_hw: Tuple[int, int],
     interpret: bool = False,
+    use_packed: Optional[bool] = None,
 ) -> Callable[[jnp.ndarray], Dict[str, jnp.ndarray]]:
     """Build ``fn(images [B, H, W, 1]) → {"semi", "desc"[, "sem"]}``
     matching ``SuperPointGauss2.apply(variables, x, train=False)``.
 
     Weights are folded once at build time and closed over (jittable;
-    callers jit the composite pipeline).  The Pallas stem needs
-    H % 16 == 0 and W % 16 == 0 (all reference shapes: 480×640,
-    240×320, 384×1248); other shapes fall back to the XLA stem.
+    callers jit the composite pipeline).  ``use_packed=None`` applies
+    the measured profitability gate (``packed_stem_profitable``); pass
+    an explicit bool to force a stem (the kernel itself only needs
+    H % 16 == 0 and W % 16 == 0 — parity tests force it at tiny
+    shapes the gate would reject).
     """
     folded = fold_variables(variables)
-    H, W = input_hw
-    use_packed = (H % 16 == 0) and (W % 16 == 0)
+    if use_packed is None:
+        use_packed = packed_stem_profitable(input_hw)
 
     def fast_apply(x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         return _forward(x, folded, use_packed, interpret)
@@ -178,11 +207,25 @@ def supports_fast(variables: Dict[str, Any]) -> bool:
     return "inc" in p and bool(variables.get("batch_stats"))
 
 
-def best_apply_fn(model, variables: Dict[str, Any]) -> Callable:
-    """``fast_apply_fn`` when the variables support BN folding, else
-    the flax ``model.apply`` — the one-line switch the export/val CLIs
-    use so every inference path gets the packed stem on TPU."""
-    return fast_apply_fn if supports_fast(variables) else model.apply
+def best_apply_fn(model, variables: Dict[str, Any],
+                  input_hw: Optional[Tuple[int, int]] = None) -> Callable:
+    """``fast_apply_fn`` when the variables support BN folding *and*
+    the packed stem wins at ``input_hw``, else the flax ``model.apply``
+    — the one-line switch the export/val CLIs use so every inference
+    path gets the fastest measured forward for its shape.
+
+    Pass ``input_hw`` whenever the caller knows the image shape: at
+    shapes where the packed stem loses to lane padding (240×320), the
+    flax path is the fastest forward outright (see
+    ``packed_stem_profitable``).  With ``input_hw=None`` the choice is
+    deferred to ``fast_apply_fn``'s per-trace shape gate, which falls
+    back only as far as the folded XLA stem.
+    """
+    if not supports_fast(variables):
+        return model.apply
+    if input_hw is not None and not packed_stem_profitable(input_hw):
+        return model.apply
+    return fast_apply_fn
 
 
 def fast_apply_fn(variables: Dict[str, Any], x: jnp.ndarray,
@@ -203,5 +246,5 @@ def fast_apply_fn(variables: Dict[str, Any], x: jnp.ndarray,
     folded = fold_variables(variables)
     _, H, W, _ = x.shape
     on_tpu = jax.devices()[0].platform == "tpu"
-    use_packed = on_tpu and H % 16 == 0 and W % 16 == 0
+    use_packed = on_tpu and packed_stem_profitable((H, W))
     return _forward(x, folded, use_packed, interpret=False)

@@ -66,7 +66,7 @@ class ValAgent:
             variables = self._variables
             from ssp.models.fast_infer import best_apply_fn
 
-            apply_fn = best_apply_fn(self.model, variables)
+            apply_fn = best_apply_fn(self.model, variables, input_hw=tuple(self.input_hw))
 
             def run(image):
                 out = apply_fn(variables, image[None, ..., None], train=False)

@@ -41,7 +41,9 @@ class TestFastInferParity:
 
         x = jax.random.uniform(jax.random.key(2), (2, H, W, 1), jnp.float32)
         ref = model.apply(v, x, train=False)
-        fast = jax.jit(make_fast_apply(v, input_hw=(H, W), interpret=True))(x)
+        fast = jax.jit(
+            make_fast_apply(v, input_hw=(H, W), interpret=True, use_packed=True)
+        )(x)
 
         assert set(fast) == set(ref)
         semi_err = np.abs(np.asarray(fast["semi"]) - np.asarray(ref["semi"])).max()
@@ -67,7 +69,7 @@ class TestFastInferParity:
         x = jax.random.uniform(jax.random.key(4), (1, H, W, 1), jnp.float32)
 
         heat_ref = flatten_detection(model.apply(v, x, train=False)["semi"])[0, ..., 0]
-        fast = make_fast_apply(v, input_hw=(H, W), interpret=True)
+        fast = make_fast_apply(v, input_hw=(H, W), interpret=True, use_packed=True)
         heat_fast = flatten_detection(fast(x)["semi"])[0, ..., 0]
 
         p_ref, v_ref = extract_keypoints(heat_ref, k=50, conf_thresh=0.0,
@@ -94,6 +96,12 @@ class TestFastInferParity:
 
         assert best_apply_fn(model, v) is fast_apply_fn
         ref = model.apply(v, x, train=False)
+        # shape-aware routing: packed-profitable shapes keep the fast
+        # path, lane-padded shapes (240x320: w_half 160 -> 38% pad,
+        # measured slower than flax) return model.apply
+        assert best_apply_fn(model, v, input_hw=(480, 640)) is fast_apply_fn
+        assert best_apply_fn(model, v, input_hw=(384, 1248)) is fast_apply_fn
+        assert best_apply_fn(model, v, input_hw=(240, 320)) == model.apply
         out = jax.jit(fast_apply_fn, static_argnames="train")(v, x, train=False)
         assert np.abs(np.asarray(out["semi"]) - np.asarray(ref["semi"])).max() < 0.15
         # non-foldable layout → flax path
