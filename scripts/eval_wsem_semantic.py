@@ -66,16 +66,22 @@ def main() -> None:
 
     cm = np.zeros((N_CLASSES, N_CLASSES), np.int64)
     t0 = time.perf_counter()
-    done = 0
-    it = ds.batches(args.batch, shuffle=False)
-    while done < n:
-        b = next(it)
-        pred = np.asarray(predict(jnp.asarray(b["image"], jnp.float32)))
-        take = min(args.batch, n - done)  # final batch may wrap the epoch
+    # Iterate sample indices directly: Dataset.batches() drops the
+    # ragged epoch tail, which would skip the last n % batch images and
+    # double-count the first n % batch (biasing the confusion matrix).
+    # The final batch is padded by repeating the last index (keeps the
+    # jit shape static); only the first `take` rows are counted.
+    for start in range(0, n, args.batch):
+        idxs = list(range(start, min(start + args.batch, n)))
+        take = len(idxs)
+        idxs += [n - 1] * (args.batch - take)
+        samples = [ds[i] for i in idxs]
+        images = np.stack([s["image"] for s in samples])
+        sem = np.stack([s["sem"] for s in samples])
+        pred = np.asarray(predict(jnp.asarray(images, jnp.float32)))
         cm += confusion_matrix(
-            pred[:take], b["sem"][:take], N_CLASSES, IGNORE_CLASS
+            pred[:take], sem[:take], N_CLASSES, IGNORE_CLASS
         )
-        done += take
     dt = time.perf_counter() - t0
 
     m = semantic_metrics(cm)

@@ -219,14 +219,16 @@ def make_fast_apply(
 
     Weights are folded once at build time and closed over (jittable;
     callers jit the composite pipeline).  ``use_packed=None`` applies
-    the measured profitability gate (``packed_stem_profitable``); pass
-    an explicit bool to force a stem (the kernel itself only needs
-    H % 16 == 0 and W % 16 == 0 — parity tests force it at tiny
-    shapes the gate would reject).
+    the measured profitability gate (``packed_stem_profitable``) *and*
+    requires a TPU backend (the Mosaic kernel does not lower on CPU —
+    same gate as ``fast_apply_fn``); pass an explicit bool to force a
+    stem (the kernel itself only needs H % 16 == 0 and W % 16 == 0 —
+    parity tests force it at tiny shapes the gate would reject).
     """
     folded = fold_variables(variables)
     if use_packed is None:
-        use_packed = packed_stem_profitable(input_hw)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        use_packed = (on_tpu or interpret) and packed_stem_profitable(input_hw)
 
     def fast_apply(x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         return _forward(x, folded, use_packed, interpret)
