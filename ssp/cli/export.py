@@ -57,7 +57,8 @@ def export_detector_homoAdapt(config: dict, exper_name: str) -> None:
     from ssp.models.fast_infer import best_apply_fn
 
     ha_fn = make_ha_fn(
-        best_apply_fn(model, variables, input_hw=tuple(size)),
+        best_apply_fn(model, variables, input_hw=tuple(size),
+                      enable=bool(m.get("fast_inference", True))),
         variables,
         num_h=int(ha_cfg.get("num", 100)),
         homography_params=ha_cfg.get("homographies", {}).get("params"),
@@ -105,7 +106,8 @@ def export_descriptor(config: dict, exper_name: str) -> None:
     from ssp.models.fast_infer import best_apply_fn
 
     dd_fn = make_detect_describe_fn(
-        best_apply_fn(model, variables, input_hw=tuple(size)),
+        best_apply_fn(model, variables, input_hw=tuple(size),
+                      enable=bool(m.get("fast_inference", True))),
         variables,
         top_k=int(m.get("top_k", 1000)),
         conf_thresh=float(m.get("detection_threshold", 0.015)),
@@ -141,7 +143,8 @@ def export_sequence(config: dict, exper_name: str) -> None:
     from ssp.models.fast_infer import best_apply_fn
 
     dd_fn = make_detect_describe_fn(
-        best_apply_fn(model, variables, input_hw=tuple(size)), variables,
+        best_apply_fn(model, variables, input_hw=tuple(size),
+                      enable=bool(m.get("fast_inference", True))), variables,
         top_k=int(m.get("top_k", 1000)),
         conf_thresh=float(m.get("detection_threshold", 0.015)),
         nms_radius=int(m.get("nms", 4)),

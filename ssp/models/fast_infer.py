@@ -245,7 +245,8 @@ def supports_fast(variables: Dict[str, Any]) -> bool:
 
 
 def best_apply_fn(model, variables: Dict[str, Any],
-                  input_hw: Optional[Tuple[int, int]] = None) -> Callable:
+                  input_hw: Optional[Tuple[int, int]] = None,
+                  enable: bool = True) -> Callable:
     """``fast_apply_fn`` when the variables support BN folding *and*
     the packed stem wins at ``input_hw``, else the flax ``model.apply``
     — the one-line switch the export/val CLIs use so every inference
@@ -257,8 +258,13 @@ def best_apply_fn(model, variables: Dict[str, Any],
     ``packed_stem_profitable``).  With ``input_hw=None`` the choice is
     deferred to ``fast_apply_fn``'s per-trace shape gate, which falls
     back only as far as the folded XLA stem.
+
+    ``enable=False`` (the ``model.fast_inference: false`` YAML flag)
+    always returns the fp32 flax ``model.apply`` — the reproducibility
+    opt-out for exports/evals that must not shift with the bf16 folded
+    path (keypoint-set agreement between the two is ~90%, not exact).
     """
-    if not supports_fast(variables):
+    if not enable or not supports_fast(variables):
         return model.apply
     if input_hw is not None and not packed_stem_profitable(input_hw):
         return model.apply

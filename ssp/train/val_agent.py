@@ -37,6 +37,7 @@ class ValAgent:
         sub = m.get("subpixel", {}) or {}
         self.subpixel = bool(sub.get("enable", False))
         self.patch_size = int(sub.get("patch_size", 5))
+        self.fast_inference = bool(m.get("fast_inference", True))
         self.model = build_model(m["name"], **dict(m.get("params") or {}))
         self.input_hw = tuple(input_hw)
         self._variables: Optional[Dict[str, Any]] = None
@@ -66,7 +67,8 @@ class ValAgent:
             variables = self._variables
             from ssp.models.fast_infer import best_apply_fn
 
-            apply_fn = best_apply_fn(self.model, variables, input_hw=tuple(self.input_hw))
+            apply_fn = best_apply_fn(self.model, variables, input_hw=tuple(self.input_hw),
+                                     enable=self.fast_inference)
 
             def run(image):
                 out = apply_fn(variables, image[None, ..., None], train=False)
