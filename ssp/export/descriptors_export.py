@@ -41,6 +41,7 @@ def make_detect_describe_var_fn(
     nms_radius: int = 4,
     subpixel: bool = True,
     patch_size: int = 5,
+    nms_iterations: int = 3,
 ):
     """(variables, image [H, W]) → (pts, valid, desc), jitted.
 
@@ -53,7 +54,8 @@ def make_detect_describe_var_fn(
         out = apply_fn(variables, image[None, ..., None], train=False)
         heat = flatten_detection(out["semi"])[0, ..., 0]
         # border removal is fused into the NMS kernel on accelerators
-        heat_nms = batched_nms(heat[None], nms_radius, border=4)[0]
+        heat_nms = batched_nms(heat[None], nms_radius, iterations=nms_iterations,
+                               border=4)[0]
         pts, valid = extract_keypoints(
             heat_nms, k=top_k, conf_thresh=conf_thresh, nms_radius=0,
             border=0, nms_iterations=1,

@@ -78,6 +78,51 @@ def import_torch_gauss2(state_dict: Dict[str, Any]):
     return params, stats
 
 
+def export_torch_gauss2(params: Dict[str, Any], batch_stats: Dict[str, Any]):
+    """Inverse of :func:`import_torch_gauss2`: flax
+    ``SuperPointGauss2`` trees → a reference-layout state dict (torch
+    tensor names of ``models/SuperPointNet_gauss2_ssmall.py:17-99``).
+
+    Used by the dual-stack parity sweep (``scripts/parity_sweep.py``)
+    to run one trained checkpoint through both the ssp pipeline and a
+    torch twin with reference semantics."""
+
+    def _get(tree, path):
+        node = tree
+        for p in path:
+            node = node[p]
+        return np.asarray(node)
+
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv(dst, path):
+        # [kh, kw, I, O] → [O, I, kh, kw]
+        sd[f"{dst}.weight"] = np.transpose(_get(params, (*path, "kernel")), (3, 2, 0, 1))
+        sd[f"{dst}.bias"] = _get(params, (*path, "bias"))
+
+    def bn(dst, path):
+        sd[f"{dst}.weight"] = _get(params, (*path, "scale"))
+        sd[f"{dst}.bias"] = _get(params, (*path, "bias"))
+        sd[f"{dst}.running_mean"] = _get(batch_stats, (*path, "mean"))
+        sd[f"{dst}.running_var"] = _get(batch_stats, (*path, "var"))
+
+    for tprefix, (mod,) in _GAUSS2_BLOCKS.items():
+        for cbr, (ci, bi) in (("ConvBNRelu_0", (0, 1)), ("ConvBNRelu_1", (3, 4))):
+            conv(f"{tprefix}.{ci}", (mod, cbr, "Conv_0"))
+            bn(f"{tprefix}.{bi}", (mod, cbr, "BatchNorm_0"))
+
+    for (conv_name, bn_name), mod in _HEADS.items():
+        if mod not in params:
+            continue  # semantic head absent in the plain model
+        conv(conv_name, (mod, "Conv_0"))
+        bn(bn_name, (mod, "BatchNorm_0"))
+
+    if "convSout" in params:
+        conv("convSout", ("convSout",))
+
+    return sd
+
+
 def import_torch_magicleap(state_dict: Dict[str, Any]):
     """MagicLeap ``superpoint_v1.pth`` → ``SuperPointMagicLeap`` params."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}

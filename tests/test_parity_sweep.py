@@ -1,0 +1,49 @@
+"""Dual-stack parity: the ssp export+evaluate pipeline and a torch twin
+with the reference's exact post-processing semantics must agree within
+1% on every results column (the north-star bar) for the same trained
+checkpoint and corpus — `scripts/parity_sweep.py`, reference
+`evaluation.py:86-499`.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+# the subprocesses must not pick the TPU tunnel backend
+ENV = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+
+pytest.importorskip("torch")
+
+REPO = Path(__file__).resolve().parents[1]
+CKPT = REPO / "evidence" / "superPointNet_wsem_30000"
+CORPUS = REPO / "datasets" / "HPatches"
+
+
+@pytest.mark.skipif(not CKPT.exists(), reason="trained checkpoint not present")
+def test_dual_stack_parity(tmp_path):
+    corpus = CORPUS
+    if not corpus.exists():
+        # regenerate the deterministic corpus (seeded; bit-exact)
+        subprocess.run(
+            [sys.executable, str(REPO / "scripts" / "make_synth_hpatches.py"),
+             str(tmp_path / "HPatches"), "--n-seq", "40", "--pairs", "2",
+             "--size", "240", "320"],
+            check=True, cwd=REPO, env=ENV,
+        )
+        corpus = tmp_path / "HPatches"
+
+    out = tmp_path / "parity"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "parity_sweep.py"),
+         "--ckpt", str(CKPT), "--corpus", str(corpus),
+         "--out", str(out), "--limit", "6"],
+        cwd=REPO, capture_output=True, text=True, timeout=1200, env=ENV,
+    )
+    assert r.returncode == 0, f"parity sweep failed:\n{r.stdout}\n{r.stderr}"
+    summary = json.loads((out / "parity_summary.json").read_text())
+    assert summary["all_ok"]
+    assert summary["max_rel"] <= summary["tol"]
