@@ -1,0 +1,196 @@
+"""Sequence-consistency evaluation of the SLAM lane.
+
+The reference's headline SSp result is the KITTI ATE table produced by
+feeding exported per-frame keypoints+descriptors into Semantic
+ORB-SLAM2 (`/root/reference/README.md:26-29`).  ORB-SLAM2 isn't in this
+environment, so this consumes `export_sequence` output directly and
+measures what the SLAM front-end depends on: frame-to-frame mutual-match
+survival, multi-frame track statistics (PointTracker.get_tracks), and —
+in `--synthetic` mode, where every frame is a known homography of a base
+scene — whether matched/tracked coordinates follow the injected motion
+(reprojection error under the known relative H).
+
+Usage:
+  # consume an export_sequence prediction tree
+  python scripts/eval_sequence.py --pred logs/kitti384_seq/predictions
+
+  # self-contained known-motion check (needs a trained checkpoint)
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/eval_sequence.py \
+      --synthetic --ckpt evidence/superPointNet_wsem_30000 --n-classes 133
+"""
+import sys
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def track_metrics(frames, *, nn_thresh=0.7, max_length=5, min_pts=4):
+    """frames: list of (pts [N,3], desc [N,D]) per frame, in order.
+
+    Returns survival rates + track-length distribution."""
+    from ssp.postprocess.tracker import PointTracker
+
+    tracker = PointTracker(max_length=max_length, nn_thresh=nn_thresh)
+    survival = []
+    pts_per_frame = []
+    matches_per_pair = []
+    for pts, desc in frames:
+        pts_per_frame.append(len(pts))
+        tracker.update(pts.T, desc.T)
+        m = tracker.get_matches()
+        if len(pts_per_frame) >= 2:
+            n_prev, n_cur = pts_per_frame[-2], pts_per_frame[-1]
+            denom = max(min(n_prev, n_cur), 1)
+            L = 0 if m is None else m.shape[1]
+            matches_per_pair.append(L)
+            survival.append(L / denom)
+
+    lengths = (tracker.tracks[:, 2:] != -1).sum(axis=1)
+    hist = {int(k): int((lengths == k).sum()) for k in range(2, max_length + 1)}
+    return {
+        "n_frames": len(frames),
+        "mean_pts_per_frame": float(np.mean(pts_per_frame)),
+        "mean_matches_per_pair": float(np.mean(matches_per_pair)) if matches_per_pair else 0.0,
+        "survival_mean": float(np.mean(survival)) if survival else 0.0,
+        "survival_min": float(np.min(survival)) if survival else 0.0,
+        "tracks_ge2": int((lengths >= 2).sum()),
+        "tracks_full_window": int((lengths >= max_length).sum()),
+        "track_length_hist": hist,
+    }
+
+
+def reprojection_metrics(frames, rel_H, nn_thresh=0.7):
+    """Known-motion check: for each consecutive pair, warp frame-t
+    matches by the injected relative homography and measure the error
+    against their frame-t+1 coordinates."""
+    from ssp.postprocess.tracker import nn_match_two_way
+
+    errs = []
+    inlier3 = []
+    for t in range(len(frames) - 1):
+        (p1, d1), (p2, d2) = frames[t], frames[t + 1]
+        if len(p1) < 4 or len(p2) < 4:
+            continue
+        m = nn_match_two_way(d1.T, d2.T, nn_thresh)
+        if m.shape[1] == 0:
+            continue
+        x1 = p1[m[0].astype(int), :2]
+        x2 = p2[m[1].astype(int), :2]
+        h = np.concatenate([x1, np.ones((len(x1), 1))], axis=1) @ rel_H[t].T
+        proj = h[:, :2] / h[:, 2:3]
+        e = np.linalg.norm(proj - x2, axis=1)
+        errs.append(e)
+        inlier3.append(float((e < 3.0).mean()))
+    allg = np.concatenate(errs) if errs else np.zeros((0,))
+    return {
+        "reproj_pairs": len(errs),
+        "reproj_median_px": float(np.median(allg)) if len(allg) else float("nan"),
+        "reproj_inlier3_mean": float(np.mean(inlier3)) if inlier3 else 0.0,
+    }
+
+
+def load_pred_tree(pred: Path):
+    files = sorted(pred.rglob("*.npz"))
+    frames = []
+    for f in files:
+        with np.load(f) as z:
+            frames.append((z["pts"], z["desc"]))
+    return frames
+
+
+def make_synthetic_frames(ckpt, n_classes, *, n_frames=8, size=(240, 320),
+                          seed=0):
+    """Base synthetic scene warped by a smoothly composed homography
+    chain; detect+describe each frame with the trained checkpoint."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from ssp.data.synthetic_shapes import generate_sample
+    from ssp.export.descriptors_export import make_detect_describe_fn
+    from ssp.models import build_model
+    from ssp.train.checkpoint import load_checkpoint
+    from ssp.train.state import create_train_state
+
+    h, w = size
+    img, _ = generate_sample("draw_multiple_polygons", size=size, seed=seed)
+    rng = np.random.default_rng(seed)
+
+    def small_motion():
+        th = np.radians(rng.uniform(-2.0, 2.0))
+        s = rng.uniform(0.98, 1.02)
+        tx, ty = rng.uniform(-4, 4, 2)
+        T = np.array([[1, 0, -(w - 1) / 2], [0, 1, -(h - 1) / 2], [0, 0, 1.0]])
+        M = np.array([
+            [s * np.cos(th), -s * np.sin(th), tx],
+            [s * np.sin(th), s * np.cos(th), ty],
+            [0, 0, 1.0],
+        ])
+        return np.linalg.inv(T) @ M @ T
+
+    H_abs = [np.eye(3)]
+    for _ in range(n_frames - 1):
+        H_abs.append(small_motion() @ H_abs[-1])
+    rel_H = [H_abs[t + 1] @ np.linalg.inv(H_abs[t]) for t in range(n_frames - 1)]
+
+    model = build_model(
+        "SuperPointNet_gauss2_ssmall" if n_classes else "SuperPointNet_gauss2",
+        dtype=jnp.float32, **({"n_classes": n_classes} if n_classes else {}))
+    state = create_train_state(model, jax.random.key(0), (1, h, w, 1))
+    state = load_checkpoint(ckpt, state, mode="weights")
+    dd_fn = make_detect_describe_fn(
+        model.apply, {"params": state.params, "batch_stats": state.batch_stats},
+        top_k=600, conf_thresh=0.015, nms_radius=4, subpixel=False)
+
+    frames = []
+    for H in H_abs:
+        warped = cv2.warpPerspective(img, H.astype(np.float64), (w, h),
+                                     flags=cv2.INTER_LINEAR)
+        pts, valid, desc = jax.device_get(dd_fn(jnp.asarray(warped)))
+        v = np.asarray(valid)
+        frames.append((np.asarray(pts)[v], np.asarray(desc)[v]))
+    return frames, rel_H
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pred", help="export_sequence predictions dir")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--ckpt", default="evidence/superPointNet_wsem_30000")
+    ap.add_argument("--n-classes", type=int, default=133)
+    ap.add_argument("--n-frames", type=int, default=8)
+    ap.add_argument("--size", type=int, nargs=2, default=(240, 320))
+    ap.add_argument("--nn-thresh", type=float, default=0.7)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    if args.synthetic:
+        frames, rel_H = make_synthetic_frames(
+            args.ckpt, args.n_classes, n_frames=args.n_frames,
+            size=tuple(args.size))
+        metrics = track_metrics(frames, nn_thresh=args.nn_thresh)
+        metrics.update(reprojection_metrics(frames, rel_H, args.nn_thresh))
+        metrics["mode"] = "synthetic_known_motion"
+    elif args.pred:
+        frames = load_pred_tree(Path(args.pred))
+        if not frames:
+            raise FileNotFoundError(f"no frame npz under {args.pred}")
+        metrics = track_metrics(frames, nn_thresh=args.nn_thresh)
+        metrics["mode"] = f"pred:{args.pred}"
+    else:
+        ap.error("need --pred or --synthetic")
+
+    print(json.dumps(metrics, indent=1))
+    if args.out:
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(json.dumps(metrics, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -118,6 +118,7 @@ def evaluate(
     correctness: List[List[float]] = []
     mscore: List[float] = []
     maps: List[float] = []
+    names: List[str] = []
 
     skipped = 0
     for f in files:
@@ -127,6 +128,7 @@ def evaluate(
             log.warning("skipping %s: not an exported pair file", f.name)
             skipped += 1
             continue
+        names.append(f.name)
         shape_hw = data["image"].shape[:2]
         shape2_hw = data["warped_image"].shape[:2] if "warped_image" in data else shape_hw
         H = data["homography"]
@@ -165,7 +167,29 @@ def evaluate(
     with open(Path(path) / "result.txt", "w") as f:
         for k, v in summary.items():
             f.write(f"{k}: {v}\n")
-    np.savez(Path(path) / "result.npz", **summary)
+        # per-file detail block — reference ``evaluation.py:468-482``
+        # (verbose section of result.txt: one line per pair)
+        f.write("====== details =====\n")
+        for i, name in enumerate(names):
+            line = f"file: {name}"
+            if do_rep:
+                line += f"; rep: {rep[i]}"
+            if do_homo:
+                line += f"; correct: {np.asarray(correctness[i])}"
+                line += f"; mscore: {mscore[i]}"
+                line += f":, mean AP: {maps[i]}"
+            f.write(line + "\n")
+        f.write("======== end ========\n")
+    payload = dict(summary)
+    if do_rep:
+        payload["repeatability_per_file"] = np.asarray(rep)
+        payload["localization_err_per_file"] = np.asarray(loc)
+    if do_homo:
+        payload["correctness_per_file"] = np.asarray(correctness)
+        payload["mscore_per_file"] = np.asarray(mscore)
+        payload["mAP_per_file"] = np.asarray(maps)
+    payload["files"] = np.asarray(names)
+    np.savez(Path(path) / "result.npz", **payload)
     return summary
 
 

@@ -68,6 +68,16 @@ class TestHPatchesChain:
         assert 0.0 <= summary["repeatability"] <= 1.0
         assert 0.0 <= summary["nn_map"] <= 1.0
         assert (out_dir / "result.txt").exists()
+        # per-file detail block (reference evaluation.py:468-482)
+        txt = (out_dir / "result.txt").read_text()
+        assert "====== details =====" in txt and "======== end ========" in txt
+        detail = txt.split("====== details =====")[1]
+        assert detail.count("file: ") == 4
+        assert "; rep: " in detail and "; mscore: " in detail
+        with np.load(out_dir / "result.npz") as z:
+            assert z["repeatability_per_file"].shape == (4,)
+            assert z["correctness_per_file"].shape == (4, 6)
+            assert len(z["files"]) == 4
 
     def test_alteration_filter(self, tmp_path):
         data_root = tmp_path / "hp"

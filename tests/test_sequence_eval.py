@@ -1,0 +1,40 @@
+"""SLAM-lane sequence consistency (`scripts/eval_sequence.py`): tracks
+built from export-grade keypoints+descriptors must follow a known
+injected motion — the stand-in for the reference's ORB-SLAM2 ATE table
+(`README.md:26-29`), which needs external SLAM infrastructure."""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+CKPT = REPO / "evidence" / "superPointNet_wsem_30000"
+
+
+def _load_script():
+    spec = importlib.util.spec_from_file_location(
+        "eval_sequence", REPO / "scripts" / "eval_sequence.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["eval_sequence"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.skipif(not CKPT.exists(), reason="trained checkpoint not present")
+def test_known_motion_sequence_consistency():
+    es = _load_script()
+    frames, rel_H = es.make_synthetic_frames(
+        str(CKPT), 133, n_frames=5, size=(240, 320))
+    tm = es.track_metrics(frames, max_length=4)
+    rm = es.reprojection_metrics(frames, rel_H)
+
+    assert tm["n_frames"] == 5
+    assert tm["mean_pts_per_frame"] >= 10
+    # matched features survive frame to frame and span the window
+    assert tm["survival_mean"] > 0.3
+    assert tm["tracks_full_window"] >= 1
+    # matched coordinates follow the injected motion
+    assert rm["reproj_median_px"] < 3.0
+    assert rm["reproj_inlier3_mean"] > 0.4
