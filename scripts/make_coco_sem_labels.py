@@ -37,18 +37,42 @@ from ssp.data.coco_labels import N_CLASSES, PANOPTIC_IDS
 ap = argparse.ArgumentParser()
 ap.add_argument("--root", default="datasets/COCO240")
 ap.add_argument("--sigma", type=float, default=4.0, help="pre-LUT smoothing")
+ap.add_argument(
+    "--coarse", type=int, default=0, metavar="N",
+    help="coarse mode: N well-separated appearance classes mapped onto N "
+    "real panoptic ids, quantization-boundary gray values -> ignore. The "
+    "134-bin default puts exact-bin accuracy at the quantization floor "
+    "(~1.9 gray-levels/bin); in coarse mode a working head MUST score "
+    "high (round-3 VERDICT weak #1), so its mIoU is a meaningful "
+    "pass/fail signal.")
+ap.add_argument("--out-name", default="annotations",
+                help="annotations dir name under --root")
 args = ap.parse_args()
 
 ids = np.asarray(PANOPTIC_IDS, np.uint8)
-# fixed global LUT: 256 gray values → 134 uniform bins → raw ids
-bin_of = (np.arange(256) * (N_CLASSES + 1)) // 256  # 0..133
 lut = np.zeros(256, np.uint8)
-lut[bin_of > 0] = ids[bin_of[bin_of > 0] - 1]
+if args.coarse:
+    # N wide gray bands; the central 10/16 of each band maps to one real
+    # panoptic id (spread across the id table so the remap is
+    # non-trivial), band-boundary values -> raw 0 (ignore class 133)
+    n = args.coarse
+    band_w = 256 // n
+    g = np.arange(256)
+    band = np.minimum(g // band_w, n - 1)
+    pos = g - band * band_w
+    guard = max(band_w // 8, 1)
+    central = (pos >= guard) & (pos < band_w - guard)
+    spread = np.linspace(0, N_CLASSES - 1, n).astype(int)
+    lut[central] = ids[spread[band[central]]]
+else:
+    # fixed global LUT: 256 gray values → 134 uniform bins → raw ids
+    bin_of = (np.arange(256) * (N_CLASSES + 1)) // 256  # 0..133
+    lut[bin_of > 0] = ids[bin_of[bin_of > 0] - 1]
 
 root = Path(args.root)
 for split in ("train2017", "val2017"):
     img_dir = root / split
-    out_dir = root / "annotations" / f"semantic_{split}"
+    out_dir = root / args.out_name / f"semantic_{split}"
     out_dir.mkdir(parents=True, exist_ok=True)
     files = sorted(img_dir.glob("*.jpg"))
     for f in files:

@@ -39,6 +39,14 @@ SPD = int(os.environ.get("SSP_PROF_SPD", "20"))
 
 cfg = load_config(CFG)
 cfg["steps_per_dispatch"] = SPD
+# SSP_PROF_OVERRIDE='{"model": {"fused_semantic_ce": false}}' — ad-hoc
+# config deltas for A/B profiling without a config-file variant
+if os.environ.get("SSP_PROF_OVERRIDE"):
+    import json
+
+    from ssp.utils.config import dict_update
+
+    dict_update(cfg, json.loads(os.environ["SSP_PROF_OVERRIDE"]))
 agent_cls = registry.get("agent", cfg["front_end_model"])
 agent = agent_cls(cfg, save_path=ExperimentPaths("profile_step"),
                   exper_name="profile_step")
@@ -55,12 +63,16 @@ if fake_n:
 
         def __getitem__(self, i):
             r = np_.random.default_rng(i)
-            return {
+            s = {
                 "image": r.uniform(size=(h, w)).astype(np_.float32),
                 "points": r.uniform(5, min(h, w) - 5, (48, 2)).astype(np_.float32),
                 "points_valid": np_.ones((48,), bool),
                 "name": str(i),
             }
+            if agent._step_kwargs.get("semantic"):
+                nc = int((cfg["model"].get("params") or {}).get("n_classes", 133))
+                s["sem"] = r.integers(0, nc + 1, size=(h, w)).astype(np_.int32)
+            return s
 
     agent.attach_device_corpus(_Fake())
 else:

@@ -109,6 +109,7 @@ def _warp_sample(
     params: Dict[str, Any],
     erosion: int,
     ignore_class: int,
+    sem_warp_mode: str = "bilinear",
 ):
     """Sample one homography per image and warp (image, points, sem).
 
@@ -156,9 +157,28 @@ def _warp_sample(
 
     wsem = None
     if sem is not None:
-        wsem_f = jax.vmap(
-            lambda s, h: inv_warp_image(s[..., None].astype(jnp.float32), h, mode="nearest")
-        )(sem, H_inv)[..., 0]
+        if sem_warp_mode == "bilinear":
+            # the reference's own semantics: class IDS are bilinearly
+            # interpolated as floats, then truncated to int
+            # (``datasets/Coco_sem.py:406-409`` warps with
+            # mode="bilinear"; torch ``.long()`` downstream truncates).
+            # On TPU this rides the gather-free two-pass warp — the
+            # nearest path's per-pixel gather was 13 ms of the wsem
+            # step (PERF.md round-4).
+            semf = sem.astype(jnp.float32)
+            if jax.default_backend() == "tpu":
+                from ssp.kernels.warp_twopass import inv_warp_image_twopass
+
+                wsem_f = jax.vmap(inv_warp_image_twopass)(semf, H_inv)
+            else:
+                wsem_f = jax.vmap(
+                    lambda s, h: inv_warp_image(s[..., None], h, mode="bilinear")
+                )(semf, H_inv)[..., 0]
+        else:  # "nearest": exact label transport (no boundary blending)
+            wsem_f = jax.vmap(
+                lambda s, h: inv_warp_image(
+                    s[..., None].astype(jnp.float32), h, mode="nearest")
+            )(sem, H_inv)[..., 0]
         wsem = jnp.where(mask > 0, wsem_f.astype(jnp.int32), ignore_class)
     return H_fwd, H_inv, warped, wpts, points_valid, mask, wsem
 
@@ -187,6 +207,7 @@ def prepare_batch(
     warped_pair: Optional[Dict[str, Any]] = None,
     gaussian_label_sigma: Optional[float] = None,
     ignore_class: int = 133,
+    sem_warp_mode: str = "bilinear",
 ) -> Dict[str, jnp.ndarray]:
     """Host batch → training batch, entirely on device.
 
@@ -215,6 +236,7 @@ def prepare_batch(
         _, _, clean, points, points_valid, valid_mask, cur_sem = _warp_sample(
             k_homo, clean, points, points_valid, sem,
             homographic.get("params") or {}, erosion, ignore_class,
+            sem_warp_mode,
         )
 
     base = clean
@@ -244,6 +266,7 @@ def prepare_batch(
         H_fwd, H_inv, wclean, wpts, _, wmask, wsem = _warp_sample(
             k_pair, clean, points, points_valid, cur_sem,
             warped_pair.get("params") or {}, erosion, ignore_class,
+            sem_warp_mode,
         )
         wimg = wclean
         if photometric and photometric.get("enable"):

@@ -26,6 +26,7 @@ from ssp.core.grid import flatten_detection
 from ssp.postprocess.points import (
     extract_keypoints,
     sample_descriptors,
+    sample_descriptors_mxu,
     soft_argmax_refine,
 )
 from ssp.postprocess.tracker import PointTracker
@@ -42,11 +43,20 @@ def make_detect_describe_var_fn(
     subpixel: bool = True,
     patch_size: int = 5,
     nms_iterations: int = 3,
+    topk_method: str = "exact",
+    desc_sampler: str = "gather",
 ):
     """(variables, image [H, W]) → (pts, valid, desc), jitted.
 
     Weights are a traced argument, so one compilation serves every
-    checkpoint of a sweep (``ssp/cli/export_eval.py``)."""
+    checkpoint of a sweep (``ssp/cli/export_eval.py``).
+
+    ``topk_method``: "exact" (``lax.top_k``) or "approx"
+    (``lax.approx_max_k`` recall 0.95 — the TPU-optimized variant);
+    ``desc_sampler``: "gather" (``sample_descriptors``) or "mxu"
+    (``sample_descriptors_mxu``).  Metric neutrality of the fast
+    variants on the fixed evaluation corpus is established by
+    ``scripts/ab_postprocess.py`` + ``tests/test_ab_postprocess.py``."""
 
     def fn(variables: Dict[str, Any], image: jnp.ndarray):
         from ssp.postprocess.nms import batched_nms
@@ -56,13 +66,28 @@ def make_detect_describe_var_fn(
         # border removal is fused into the NMS kernel on accelerators
         heat_nms = batched_nms(heat[None], nms_radius, iterations=nms_iterations,
                                border=4)[0]
-        pts, valid = extract_keypoints(
-            heat_nms, k=top_k, conf_thresh=conf_thresh, nms_radius=0,
-            border=0, nms_iterations=1,
-        )
+        if topk_method == "approx":
+            H, W = heat_nms.shape
+            scores, idx = jax.lax.approx_max_k(
+                heat_nms.reshape(-1), top_k, recall_target=0.95
+            )
+            pts = jnp.stack(
+                [(idx % W).astype(jnp.float32),
+                 (idx // W).astype(jnp.float32), scores],
+                axis=-1,
+            )
+            valid = scores >= conf_thresh
+        else:
+            pts, valid = extract_keypoints(
+                heat_nms, k=top_k, conf_thresh=conf_thresh, nms_radius=0,
+                border=0, nms_iterations=1,
+            )
         if subpixel:
             pts = soft_argmax_refine(heat, pts, patch_size)
-        desc = sample_descriptors(out["desc"][0], pts)
+        sampler = (
+            sample_descriptors_mxu if desc_sampler == "mxu" else sample_descriptors
+        )
+        desc = sampler(out["desc"][0], pts)
         return pts, valid, desc
 
     return jax.jit(fn)

@@ -114,45 +114,22 @@ def _stem_packed(x: jnp.ndarray, folded, interpret: bool) -> jnp.ndarray:
     )
 
 
-_GUARD = 16  # zero columns between W-paired images (≥ 2× stem radius)
-
-
-def _stem_packed_wpair(x: jnp.ndarray, folded, interpret: bool) -> jnp.ndarray:
-    """Packed stem over batch-halves concatenated along W.
-
-    At narrow shapes the packed layout wastes lanes (240×320: w_half
-    160 → 38% pad).  Two images side by side with a 16-column zero
-    guard double the lane fill (w_half 328 → 15% pad) and reproduce
-    'SAME' zero padding exactly: the stem's receptive radius is 2, so
-    each image's border taps read true zeros from the guard.  The
-    pooled guard columns are sliced off; batch order is preserved
-    (first half ‖ second half).  Odd batches fall back to the direct
-    packed stem.
-    """
-    B, H, W, _ = x.shape
-    if B % 2:
-        return _stem_packed(x, folded, interpret)
-    half = B // 2
-    guard = jnp.zeros((half, H, _GUARD, 1), x.dtype)
-    xp = jnp.concatenate([x[:half], guard, x[half:]], axis=2)
-    t = _stem_packed(xp, folded, interpret)  # [B/2, H/2, (2W+16)/2, 64]
-    wh = W // 2  # pooled width per image; pooled guard = _GUARD // 2
-    b_start = wh + _GUARD // 2
-    return jnp.concatenate(
-        [t[:, :, :wh], t[:, :, b_start : b_start + wh]], axis=0
-    )
+# NB: a "W-pair" variant (two batch-halves side by side along W with a
+# zero guard, to double lane fill at narrow shapes) was prototyped and
+# removed: the guard columns are nonzero AFTER conv1a (folded bias/BN
+# shift + edge taps), so conv1b's border reads are contaminated and
+# 'SAME' padding cannot be reproduced through two conv layers without
+# in-kernel guard masking.  If narrow-shape lane fill matters, the
+# masking must live inside stem_pallas_packed itself.
 
 
 def _forward(x: jnp.ndarray, folded, use_packed,
              interpret: bool) -> Dict[str, jnp.ndarray]:
     """Folded-BN forward body shared by both entry points.
 
-    ``use_packed``: False → XLA stem, True → direct packed Pallas stem,
-    ``"wpair"`` → W-paired packed stem (narrow shapes).
+    ``use_packed``: False → XLA stem, True → direct packed Pallas stem.
     """
-    if use_packed == "wpair":
-        t = _stem_packed_wpair(x, folded, interpret)
-    elif use_packed:
+    if use_packed:
         t = _stem_packed(x, folded, interpret)
     else:
         t = _stem_xla(x.astype(jnp.bfloat16), folded)

@@ -108,7 +108,8 @@ class SuperPointGauss2(nn.Module):
     mesh_data_axis: str = "data"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 upsample_sem: bool = True) -> Dict[str, jnp.ndarray]:
         c1, c2, c3, c4, c5, d1 = 64, 64, 128, 128, 256, 256
         det_h = 65
         axis = self.mesh_data_axis if self.bn_cross_replica else None
@@ -147,12 +148,17 @@ class SuperPointGauss2(nn.Module):
                 name="convSout",
             )(cS)
             B, Hc, Wc, _ = sem.shape
-            sem = jax.image.resize(
-                sem.astype(jnp.float32),
-                (B, Hc * 8, Wc * 8, self.n_classes),
-                method="linear",
-            )
-            out["sem"] = sem
+            if upsample_sem:
+                out["sem"] = jax.image.resize(
+                    sem.astype(jnp.float32),
+                    (B, Hc * 8, Wc * 8, self.n_classes),
+                    method="linear",
+                )
+            else:
+                # training path: the fused CE (semantic_loss_coarse)
+                # consumes 1/8-res logits directly — the 650 MB
+                # full-res tensor is never materialized
+                out["sem_coarse"] = sem.astype(jnp.float32)
 
         return out
 

@@ -25,6 +25,7 @@ from ssp.losses import (
     detector_loss,
     multi_task_loss,
     semantic_loss,
+    semantic_loss_coarse,
 )
 from ssp.losses.descriptor_sparse import batch_descriptor_loss_sparse
 from ssp.train.state import TrainState
@@ -54,15 +55,23 @@ def compute_losses(
     lambda_loss: float,
     multi_task: bool,
     ignore_class: int,
+    sem_fused: bool = True,
 ) -> Tuple[jnp.ndarray, Tuple[Any, Dict[str, jnp.ndarray]]]:
     """Pure loss evaluation; returns (loss, (new_batch_stats, metrics))."""
 
     def forward(img, stats):
         v = {"params": params, "batch_stats": stats}
+        # semantic training consumes 1/8-res logits via the fused CE
+        # (semantic_loss_coarse) — skip the 650 MB full-res upsample.
+        # sem_fused=False keeps the reference's materialize-then-CE
+        # (model.fused_semantic_ce: false) for A/B measurement.
+        kw = {"upsample_sem": False} if (semantic and sem_fused) else {}
         if train:
-            out, mut = state.apply_fn(v, img, train=True, mutable=["batch_stats"])
+            out, mut = state.apply_fn(
+                v, img, train=True, mutable=["batch_stats"], **kw
+            )
             return out, mut["batch_stats"]
-        return state.apply_fn(v, img, train=False), stats
+        return state.apply_fn(v, img, train=False, **kw), stats
 
     out1, stats = forward(batch["image"], state.batch_stats)
 
@@ -75,10 +84,13 @@ def compute_losses(
     cmask1 = cell_valid_mask(batch["valid_mask"])
     loss_det = detector_loss(out1["semi"], cells1, cmask1, det_loss_type)
 
+    def sem_ce(out, labels):
+        if sem_fused:
+            return semantic_loss_coarse(out["sem_coarse"], labels, ignore_class)
+        return semantic_loss(out["sem"], labels, ignore_class)
+
     zero = jnp.zeros((), jnp.float32)
-    loss_sem = (
-        semantic_loss(out1["sem"], batch["sem"], ignore_class) if semantic else zero
-    )
+    loss_sem = sem_ce(out1, batch["sem"]) if semantic else zero
 
     loss_det_warp = zero
     loss_sem_warp = zero
@@ -93,7 +105,7 @@ def compute_losses(
         cmask2 = cell_valid_mask(batch["warped_valid_mask"])
         loss_det_warp = detector_loss(out2["semi"], cells2, cmask2, det_loss_type)
         if semantic:
-            loss_sem_warp = semantic_loss(out2["sem"], batch["warped_sem"], ignore_class)
+            loss_sem_warp = sem_ce(out2, batch["warped_sem"])
         if lambda_loss > 0:
             if desc_loss == "dense":
                 loss_desc, _, pos_term, neg_term = descriptor_loss_dense(
@@ -144,6 +156,7 @@ def make_train_step(
     multi_task: bool = True,
     ignore_class: int = 133,
     donate: bool = True,
+    sem_fused: bool = True,
 ):
     """Build the jitted (state, batch, key) → (state, metrics) step."""
     desc_params = dict(desc_params or {})
@@ -156,6 +169,7 @@ def make_train_step(
         lambda_loss=lambda_loss,
         multi_task=multi_task,
         ignore_class=ignore_class,
+        sem_fused=sem_fused,
     )
 
     def train_step(state: TrainState, batch, key):

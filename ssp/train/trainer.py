@@ -182,6 +182,7 @@ class TrainAgent:
             lambda_loss=float(m.get("lambda_loss", 1)),
             multi_task=bool(m.get("multi_task_loss", False)),
             ignore_class=int(data.get("ignore_class", 133)),
+            sem_fused=bool(m.get("fused_semantic_ce", True)),
         )
         self._step_kwargs = dict(step_kwargs)  # for variant rebuilds (profiling)
         self.train_step, self.eval_step = make_train_step(**step_kwargs)
@@ -205,6 +206,7 @@ class TrainAgent:
             warped_pair=data.get("warped_pair", {}),
             gaussian_label_sigma=sigma,
             ignore_class=int(data.get("ignore_class", 133)),
+            sem_warp_mode=data.get("sem_warp_mode", "bilinear"),
         )
         self._prep_val = self._make_prepare(
             photometric=self._photo_cfg(aug.get("photometric", {}), "val"),
@@ -212,6 +214,7 @@ class TrainAgent:
             warped_pair=data.get("warped_pair", {}),
             gaussian_label_sigma=sigma,
             ignore_class=int(data.get("ignore_class", 133)),
+            sem_warp_mode=data.get("sem_warp_mode", "bilinear"),
         )
 
         # multiple optimizer steps per device dispatch: a lax.scan over

@@ -223,7 +223,28 @@ class TestPrepareBatch:
         wres = np.abs(np.asarray(batch["warped_res"][0])).sum(-1)
         assert (wres[lbl == 0] == 0).all()
 
-    def test_semantic_warp_ignore(self):
+    def test_semantic_warp_ignore_nearest(self):
+        B, H, W = 1, 32, 32
+        images = jnp.ones((B, H, W)) * 0.5
+        pts = jnp.zeros((B, 1, 2))
+        valid = jnp.zeros((B, 1), bool)
+        sem = jnp.ones((B, H, W), jnp.int32) * 7
+        batch = prepare_batch(
+            jax.random.key(0), images, pts, valid, sem=sem,
+            warped_pair={"enable": True, "params": {"allow_artifacts": True}},
+            sem_warp_mode="nearest",
+        )
+        ws = np.asarray(batch["warped_sem"])
+        assert set(np.unique(ws)) <= {7, 133}
+        # out-of-frame regions must be the ignore class exactly where the
+        # valid mask is 0
+        mask = np.asarray(batch["warped_valid_mask"][0])
+        assert (ws[0][mask == 0] == 133).all()
+
+    def test_semantic_warp_bilinear_reference_semantics(self):
+        """Default mode matches the reference: class ids interpolated as
+        floats then truncated (Coco_sem.py:406-409) — so values lie in
+        [0, id] with boundary blending, ignore fill outside the mask."""
         B, H, W = 1, 32, 32
         images = jnp.ones((B, H, W)) * 0.5
         pts = jnp.zeros((B, 1, 2))
@@ -234,11 +255,13 @@ class TestPrepareBatch:
             warped_pair={"enable": True, "params": {"allow_artifacts": True}},
         )
         ws = np.asarray(batch["warped_sem"])
-        assert set(np.unique(ws)) <= {7, 133}
-        # out-of-frame regions must be the ignore class exactly where the
-        # valid mask is 0
         mask = np.asarray(batch["warped_valid_mask"][0])
         assert (ws[0][mask == 0] == 133).all()
+        inside = ws[0][mask > 0]
+        assert inside.min() >= 0 and inside.max() <= 7
+        # the interior is still the exact class (blending is a border
+        # effect of the zero padding)
+        assert (inside == 7).mean() > 0.9
 
 
 class TestHomographicBranch:

@@ -118,3 +118,4 @@ class TestFastInferParity:
         ref = model.apply(v, x, train=False)
         fast = make_fast_apply(v, input_hw=(H, W), interpret=True)(x)
         assert np.abs(np.asarray(fast["semi"]) - np.asarray(ref["semi"])).max() < 0.15
+

@@ -55,6 +55,39 @@ class TestSemanticLoss:
         logits = jax.nn.one_hot(labels, 4) * 20.0
         assert float(semantic_loss(logits, labels, ignore_class=4)) < 1e-3
 
+    def test_coarse_matches_resize_then_ce(self):
+        """semantic_loss_coarse == semantic_loss(jax.image.resize(...))
+        exactly (value and gradient) — the fused phase decomposition is
+        a reformulation, not an approximation."""
+        from ssp.losses import semantic_loss_coarse
+
+        rng = np.random.default_rng(0)
+        for B, Hc, Wc, C, s in [(2, 6, 8, 7, 8), (1, 4, 5, 133, 8), (2, 5, 3, 11, 4)]:
+            coarse = jnp.asarray(rng.normal(size=(B, Hc, Wc, C)).astype(np.float32))
+            labels = jnp.asarray(
+                rng.integers(0, C + 1, size=(B, Hc * s, Wc * s)).astype(np.int32)
+            )
+
+            def ref_fn(c):
+                full = jax.image.resize(c, (B, Hc * s, Wc * s, C), method="linear")
+                return semantic_loss(full, labels, ignore_class=C)
+
+            def got_fn(c):
+                return semantic_loss_coarse(c, labels, ignore_class=C, scale=s)
+
+            ref, g_ref = jax.value_and_grad(ref_fn)(coarse)
+            got, g_got = jax.value_and_grad(got_fn)(coarse)
+            assert float(got) == pytest.approx(float(ref), rel=1e-5, abs=1e-5)
+            rel = float(jnp.linalg.norm(g_ref - g_got) / (jnp.linalg.norm(g_ref) + 1e-12))
+            assert rel < 1e-5
+
+    def test_coarse_all_ignored_finite(self):
+        from ssp.losses import semantic_loss_coarse
+
+        coarse = jnp.asarray(np.random.default_rng(2).normal(size=(1, 4, 4, 5)), jnp.float32)
+        labels = jnp.full((1, 32, 32), 5)
+        assert float(semantic_loss_coarse(coarse, labels, ignore_class=5)) == pytest.approx(0.0)
+
 
 class TestDenseDescriptorLoss:
     def test_identity_homography_identical_descs(self):
