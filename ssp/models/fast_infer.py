@@ -133,7 +133,17 @@ def _forward(x: jnp.ndarray, folded, use_packed,
         t = _stem_packed(x, folded, interpret)
     else:
         t = _stem_xla(x.astype(jnp.bfloat16), folded)
-    t = _pool(_conv(_conv(t, folded["d1a"]), folded["d1b"]))
+    if use_packed and t.shape[1] % 16 == 0 and t.shape[2] % 2 == 0:
+        # x-pair packed down1 (the next 22% of forward FLOPs — same
+        # half-lane problem the packed stem solved; the stem's pooled
+        # output reshapes into the packed layout for free)
+        from ssp.kernels.down1_pallas import down1_pallas_packed
+
+        (wa, sa, ba), (wb, sb, bb) = folded["d1a"], folded["d1b"]
+        t = down1_pallas_packed(t, wa, sa, ba, wb, sb, bb,
+                                pool=True, interpret=interpret)
+    else:
+        t = _pool(_conv(_conv(t, folded["d1a"]), folded["d1b"]))
     t = _pool(_conv(_conv(t, folded["d2a"]), folded["d2b"]))
     feat = _conv(_conv(t, folded["d3a"]), folded["d3b"])
 

@@ -1,6 +1,7 @@
 """Pallas kernels vs XLA references (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -155,3 +156,71 @@ class TestSampleDescriptorsMXU:
         # bf16 matmul operands: compare directions
         cos = (want * got).sum(-1)
         assert cos.min() > 0.999, cos.min()
+
+
+class TestDown1Packed:
+    """x-pair packed down1 (ssp/kernels/down1_pallas.py) vs the XLA
+    conv-conv-pool reference — reference forward
+    models/SuperPointNet_gauss2.py:19-22 (down1, unet_parts.py:38-48)."""
+
+    @staticmethod
+    def _setup(B=2, H2=32, W2=48, seed=0):
+        from ssp.kernels.stem_pallas import fold_bn
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.uniform(size=(B, H2, W2, 64)), jnp.float32)
+
+        def conv_bn(key):
+            w = jnp.asarray(rng.normal(0, 0.15, (3, 3, 64, 64)), jnp.float32)
+            g = jnp.asarray(rng.normal(1, 0.1, (64,)), jnp.float32)
+            b = jnp.asarray(rng.normal(0, 0.1, (64,)), jnp.float32)
+            m = jnp.asarray(rng.normal(0, 0.2, (64,)), jnp.float32)
+            v = jnp.abs(jnp.asarray(rng.normal(1, 0.2, (64,)), jnp.float32)) + 0.1
+            s, sb = fold_bn(g, b, m, v)
+            return w, s, sb
+
+        return (x,) + conv_bn(0) + conv_bn(1)
+
+    @staticmethod
+    def _xla_ref(x, wa, sa, ba, wb, sb_, bb, pool=True):
+        def conv(xx, w):
+            return jax.lax.conv_general_dilated(
+                xx.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+
+        o = jnp.maximum(conv(x, wa) * sa + ba, 0)
+        o = jnp.maximum(conv(o, wb) * sb_ + bb, 0)
+        if pool:
+            o = jax.lax.reduce_window(
+                o, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+        return o
+
+    @pytest.mark.parametrize("pool", [True, False])
+    def test_parity_vs_xla(self, pool):
+        from ssp.kernels.down1_pallas import down1_pallas_packed
+
+        args = self._setup()
+        got = np.asarray(
+            down1_pallas_packed(*args, pool=pool, interpret=True), np.float32)
+        want = np.asarray(self._xla_ref(*args, pool=pool), np.float32)
+        if not pool:
+            B, H2, W2 = want.shape[:3]
+            got = got.reshape(B, H2, W2, 64)
+        np.testing.assert_allclose(got, want, atol=0.08, rtol=0.05)
+
+    def test_borders_same_padding(self):
+        from ssp.kernels.down1_pallas import down1_pallas_packed
+
+        args = self._setup(B=1, H2=16, W2=16, seed=3)
+        got = np.asarray(
+            down1_pallas_packed(*args, pool=False, interpret=True), np.float32)
+        got = got.reshape(1, 16, 16, 64)
+        want = np.asarray(self._xla_ref(*args, pool=False), np.float32)
+        edges = np.stack([got[0, :2], got[0, -2:], got[0, :, :2].transpose(1, 0, 2),
+                          got[0, :, -2:].transpose(1, 0, 2)])
+        edges_want = np.stack([want[0, :2], want[0, -2:], want[0, :, :2].transpose(1, 0, 2),
+                               want[0, :, -2:].transpose(1, 0, 2)])
+        np.testing.assert_allclose(edges, edges_want, atol=0.08, rtol=0.05)
