@@ -133,10 +133,19 @@ def _forward(x: jnp.ndarray, folded, use_packed,
         t = _stem_packed(x, folded, interpret)
     else:
         t = _stem_xla(x.astype(jnp.bfloat16), folded)
-    if use_packed and t.shape[1] % 16 == 0 and t.shape[2] % 2 == 0:
+    if (use_packed and t.shape[0] <= 4
+            and t.shape[1] % 16 == 0 and t.shape[2] % 2 == 0):
         # x-pair packed down1 (the next 22% of forward FLOPs — same
         # half-lane problem the packed stem solved; the stem's pooled
-        # output reshapes into the packed layout for free)
+        # output reshapes into the packed layout for free).  Batch-
+        # gated: measured in-context marginals (scripts/bench_down1_ab
+        # .py, v5e) — B=4: pallas 1.16 vs XLA 2.70 ms (KITTI shape),
+        # 0.74 vs 1.41 (480×640); B=8: tie; B=16/32: pallas loses ~15%
+        # (XLA's large-batch convs reach the MXU efficiency the packed
+        # layout buys at small batch, and the kernel's HBM pad-copy +
+        # halo recompute then dominate).  Small batch is the SLAM/
+        # sequence-export regime; big batch (HA chunks, bench) keeps
+        # the XLA convs.
         from ssp.kernels.down1_pallas import down1_pallas_packed
 
         (wa, sa, ba), (wb, sb, bb) = folded["d1a"], folded["d1b"]
