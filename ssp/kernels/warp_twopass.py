@@ -41,6 +41,18 @@ def _rot_k(k: int) -> jnp.ndarray:
     return jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
 
 
+# Opt-in: compute the coordinate grids inside the resample kernel
+# (``_twopass_square_coef``) instead of as XLA [S, S] arrays.  Measured
+# on v5e at 384×1248 × 20 warps: 12.12 ms vs 11.11 ms for the
+# rows-array path — the per-tile rational/kill prologue costs more than
+# the DMA'd precomputed rows, whose HBM traffic overlaps the band loop
+# and whose XLA grids fuse/overlap upstream.  Kept (tested, vmap-safe)
+# because it removes all [S, S] coordinate arrays — the right building
+# block if a future shape is VMEM- or HBM-pressured — but OFF by
+# default everywhere (parity + vmap tests force it explicitly).
+COEF_GRIDS = False
+
+
 def _use_pallas(size: int) -> bool:
     """Pallas resample on TPU (the kernel is TPU-Mosaic-only — on GPU
     the XLA einsum path is the correct fallback, not a lowering crash)
@@ -180,6 +192,67 @@ def _twopass_square(
     return _hresample(tmp, cols)
 
 
+def _pass_coefs(Hm: jnp.ndarray, rlo, rhi, clo, chi, S: int):
+    """Closed-form bilinear-rational coefficients for both passes.
+
+    With Hm = [[a,b,c],[d,e,f],[g,h,i]] (output normalized (x, y) →
+    source (u, v)), pass 1's source row on the (output-row o = y,
+    column x = x') grid is v₁ = N/D with
+
+      N = (dc−af) + (fg−di)·x' + (db−ae)·y + (eg−dh)·x'y
+      D = (gc−ai) + (gb−ah)·y                      (x'-independent)
+
+    (substituting the pass-1 solve x_src = (by+c−x'(hy+i))/(gx'−a)
+    into v = (dx+ey+f)/(gx+hy+i); verified to fp64 round-off).  The
+    runaway-solve kill |x_src| > 1.5 becomes the divide-free
+    |by+c−x'(hy+i)| > 1.5·|gx'−a|.  Pass 2 runs the same kernel on the
+    transposed intermediate, so on its (o = x_out, x = y) grid the
+    source column is u = (c + b·y + a·x_out)/(i + h·y + g·x_out).
+
+    Returns two [20] coefficient vectors (num 4, den 4, kill_num 4,
+    kill_den 4, keep bounds 4) for ``vresample_coef_pallas``.
+    """
+    a, b, c = Hm[0, 0], Hm[0, 1], Hm[0, 2]
+    d, e, f = Hm[1, 0], Hm[1, 1], Hm[1, 2]
+    g, h, i = Hm[2, 0], Hm[2, 1], Hm[2, 2]
+    z = jnp.zeros(())
+    one = jnp.ones(())
+    Sf = jnp.float32(S)
+    coef1 = jnp.stack([
+        d * c - a * f, f * g - d * i, d * b - a * e, e * g - d * h,
+        g * c - a * i, z, g * b - a * h, z,
+        c, -i, b, -h,
+        -a, g, z, z,
+        rlo, rhi, z, Sf,
+    ]).astype(jnp.float32)
+    coef2 = jnp.stack([
+        c, b, a, z,
+        i, h, g, z,
+        z, z, z, z,
+        one, z, z, z,
+        clo, chi, rlo, rhi,
+    ]).astype(jnp.float32)
+    return coef1, coef2
+
+
+def _twopass_square_coef(img: jnp.ndarray, Hm: jnp.ndarray,
+                         rlo, rhi, clo, chi,
+                         interpret: bool = False) -> jnp.ndarray:
+    """``_twopass_square`` with the coordinate grids computed inside
+    the Pallas resample kernel (TPU path; [S, S] single channel).
+
+    Skips the four XLA [S, S] rational grids and their HBM round trips
+    per warp — the per-tile coordinates are rebuilt from 20 scalars in
+    registers (see ``_pass_coefs``).
+    """
+    from ssp.kernels.vresample_pallas import vresample_coef_pallas
+
+    S = img.shape[0]
+    coef1, coef2 = _pass_coefs(Hm, rlo, rhi, clo, chi, S)
+    tmp = vresample_coef_pallas(img, coef1, interpret=interpret)
+    return vresample_coef_pallas(tmp.T, coef2, interpret=interpret).T
+
+
 def _mean_rotation_bucket(Hm: jnp.ndarray) -> jnp.ndarray:
     """Nearest multiple of 90° of the homography's mean rotation."""
     Hn = Hm / Hm[2, 2]
@@ -235,10 +308,17 @@ def inv_warp_image_twopass(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:
     rhi = jnp.array([H_px, W_px, S, S])[k]
     clo = jnp.array([0, S - H_px, S - W_px, 0])[k]
     chi = jnp.array([W_px, S, S, H_px])[k]
-    ar = jnp.arange(S)
-    keep1 = (ar >= rlo) & (ar < rhi)
-    keep2 = keep1[:, None] & (ar[None, :] >= clo) & (ar[None, :] < chi)
-    mid = _twopass_square(canvas, Hres, keep1=keep1, keep2=keep2)
+    if COEF_GRIDS and _use_pallas(S) and canvas.shape[-1] == 1:
+        # coordinate grids computed inside the kernel — no [S, S] XLA
+        # rational grids, no rows/cols HBM arrays (see _pass_coefs)
+        mid = _twopass_square_coef(
+            canvas[..., 0], Hres, rlo, rhi, clo, chi
+        )[..., None]
+    else:
+        ar = jnp.arange(S)
+        keep1 = (ar >= rlo) & (ar < rhi)
+        keep2 = keep1[:, None] & (ar[None, :] >= clo) & (ar[None, :] < chi)
+        mid = _twopass_square(canvas, Hres, keep1=keep1, keep2=keep2)
 
     # out(p) = mid(Rk·p): with Rk the CCW rotation of normalized coords,
     # out[i, j] = mid[j, S-1-i] for k=1 — exactly jnp.rot90(mid, k) on

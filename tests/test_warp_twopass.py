@@ -126,3 +126,109 @@ class TestVresamplePallas:
                 jnp.asarray(imgs[n]), jnp.asarray(rows[n]), interpret=True
             ))
             np.testing.assert_allclose(got[n], one, atol=1e-6)
+
+
+class TestCoefKernel:
+    """In-kernel coordinate computation (``vresample_coef_pallas``) vs
+    the rows-array kernel fed the same coordinates (same hat-function
+    resample, coordinates rebuilt from ``_pass_coefs``' 20 scalars)."""
+
+    def _setup(self, seed, S=128):
+        rng = np.random.default_rng(seed)
+        img = rng.uniform(size=(S, S)).astype(np.float32)
+        Hm = (np.eye(3) + rng.normal(0, 0.1, (3, 3))).astype(np.float32)
+        return rng, jnp.asarray(img), jnp.asarray(Hm), S
+
+    def test_pass1_matches_rows_kernel(self):
+        from ssp.kernels.vresample_pallas import (
+            vresample_coef_pallas, vresample_pallas)
+        from ssp.kernels.warp_twopass import _pass_coefs
+
+        _, img, Hm, S = self._setup(0)
+        rlo, rhi, clo, chi = 0.0, 100.0, 10.0, 120.0
+        c1, _ = _pass_coefs(Hm, rlo, rhi, clo, chi, S)
+        lin = jnp.linspace(-1.0, 1.0, S)
+        to_pix = (S - 1) / 2.0
+        a, b, c = Hm[0]
+        d, e, f = Hm[1]
+        g, h, i = Hm[2]
+        xp, yo = lin[None, :], lin[:, None]
+        denom = xp * g - a
+        denom = jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
+        x_src = (b * yo + c - xp * (h * yo + i)) / denom
+        wsrc = g * x_src + h * yo + i
+        v1 = (d * x_src + e * yo + f) / jnp.where(
+            jnp.abs(wsrc) < 1e-8, 1e-8, wsrc)
+        rows = (v1 + 1.0) * to_pix
+        rows = jnp.where(jnp.abs(x_src) <= 1.5, rows, -10.0)
+        ar = jnp.arange(S)
+        rows = jnp.where(((ar >= rlo) & (ar < rhi))[:, None], rows, -10.0)
+        ref = vresample_pallas(img, rows, interpret=True)
+        got = vresample_coef_pallas(img, c1, interpret=True)
+        # fp32 coordinate-algebra reassociation: ~1e-5 px -> ~1e-4 value
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+    def test_full_warp_matches_einsum_path(self):
+        """Forced coef path (interpret) vs the XLA einsum fallback over
+        rotation buckets; tolerance covers the fallback's bf16 weights."""
+        from ssp.core.homography import inv3
+        from ssp.kernels import warp_twopass as wt
+
+        rng = np.random.default_rng(2)
+        H_px, W_px = 96, 128
+        img = jnp.asarray(rng.uniform(size=(H_px, W_px)).astype(np.float32))
+        for ang in (-170.0, -95.0, 10.0, 80.0):
+            a_r = np.radians(ang)
+            ca, sa = np.cos(a_r), np.sin(a_r)
+            Hm = np.array(
+                [[ca, -sa, 0], [sa, ca, 0], [0, 0, 1.0]], np.float32)
+            Hm[:2, 2] = rng.uniform(-0.2, 0.2, 2)
+            Hm[2, :2] = rng.uniform(-0.05, 0.05, 2)
+            Hm = jnp.asarray(Hm)
+            S = max(H_px, W_px)
+            sx = (S - 1) / (W_px - 1)
+            sy = (S - 1) / (H_px - 1)
+            T = jnp.array([[sx, 0.0, sx - 1.0], [0.0, sy, sy - 1.0],
+                           [0.0, 0.0, 1.0]])
+            Hc = inv3(T) @ Hm @ T
+            canvas = jnp.pad(
+                img[..., None], ((0, S - H_px), (0, S - W_px), (0, 0)))
+            k = wt._mean_rotation_bucket(Hc)
+            rk_inv = jnp.stack([wt._rot_k((4 - kk) % 4) for kk in range(4)])
+            Hres = Hc @ rk_inv[k]
+            rlo = jnp.array([0, 0, S - H_px, S - W_px])[k]
+            rhi = jnp.array([H_px, W_px, S, S])[k]
+            clo = jnp.array([0, S - H_px, S - W_px, 0])[k]
+            chi = jnp.array([W_px, S, S, H_px])[k]
+            mid = wt._twopass_square_coef(
+                canvas[..., 0], Hres, rlo, rhi, clo, chi, interpret=True
+            )[..., None]
+            out = jax.lax.switch(
+                k,
+                [lambda m, kk=kk: jnp.rot90(m, k=kk, axes=(0, 1))
+                 for kk in range(4)],
+                mid,
+            )[:H_px, :W_px, 0]
+            ref = wt.inv_warp_image_twopass(img, Hm)  # CPU: einsum path
+            d = np.abs(np.asarray(ref) - np.asarray(out))
+            assert d.max() < 1.5e-2 and d.mean() < 2e-3, (ang, d.max(), d.mean())
+
+    def test_vmap_batches_coef_kernel(self):
+        from ssp.kernels.vresample_pallas import vresample_coef_pallas
+        from ssp.kernels.warp_twopass import _pass_coefs
+
+        rng = np.random.default_rng(3)
+        S, N = 128, 3
+        img = jnp.asarray(rng.uniform(size=(S, S)).astype(np.float32))
+        Hms = jnp.asarray(
+            np.eye(3) + rng.normal(0, 0.08, (N, 3, 3)).astype(np.float32))
+        coefs = jax.vmap(
+            lambda Hm: _pass_coefs(Hm, 0.0, float(S), 0.0, float(S), S)[0]
+        )(Hms)
+        got = np.asarray(jax.vmap(
+            lambda cc: vresample_coef_pallas(img, cc, interpret=True)
+        )(coefs))
+        for n in range(N):
+            one = np.asarray(
+                vresample_coef_pallas(img, coefs[n], interpret=True))
+            np.testing.assert_allclose(got[n], one, atol=1e-6)
