@@ -525,7 +525,12 @@ class TrainAgent:
             for k, v in jax.device_get(metrics).items():
                 agg.setdefault(k, []).append(float(v))
         scalars = {k: float(np.mean(v)) for k, v in agg.items()}
-        if first_batch is not None:
+        # val_residual_diagnostic: false disables the soft-argmax
+        # residual probe — it is pure TensorBoard telemetry, and its
+        # jitted program has been observed to wedge the axon tunnel
+        # client on some deployments (D2H fetch never completes).
+        run_residual = bool(self.config.get("val_residual_diagnostic", True))
+        if first_batch is not None and run_residual:
             self._residual_offsets = None
             err = self._residual_diagnostic(first_batch)
             if err is not None:
