@@ -24,7 +24,10 @@ H_IMG, W_IMG = 240, 320
 def _latest_ckpt():
     """Newest superpoint_synth checkpoint from logs/ (untracked, present
     after running configs/superpoint_synth_joint.yaml), falling back to
-    the tracked round-2 evidence checkpoint."""
+    the committed compact weights artifact
+    (scripts/make_test_checkpoint.py — runs on a fresh clone).
+
+    Returns (path, model_name, model_kwargs)."""
     from pathlib import Path
 
     d = Path("/root/repo/logs/superpoint_synth/checkpoints")
@@ -34,12 +37,14 @@ def _latest_ckpt():
             key=lambda p: int(p.name.split("_")[-1]),
         )
         if ckpts:
-            return ckpts[-1]
-    tracked = Path("/root/repo/evidence/superPointNet_30000")
-    return tracked if tracked.is_dir() else None
+            return ckpts[-1], "SuperPointNet_gauss2", {}
+    tracked = Path("/root/repo/evidence/wsem_weights.npz")
+    if tracked.is_file():
+        return tracked, "SuperPointNet_gauss2_ssmall", {"n_classes": 133}
+    return None, None, {}
 
 
-CKPT = _latest_ckpt()
+CKPT, CKPT_MODEL, CKPT_KW = _latest_ckpt()
 
 
 def _mild_H(rng):
@@ -115,7 +120,7 @@ class TestTrainedCheckpointOracle:
         from ssp.train.checkpoint import load_checkpoint
         from ssp.train.state import create_train_state
 
-        model = build_model("SuperPointNet_gauss2", dtype=jnp.float32)
+        model = build_model(CKPT_MODEL, dtype=jnp.float32, **CKPT_KW)
         state = create_train_state(model, jax.random.key(0), (1, H_IMG, W_IMG, 1))
         state = load_checkpoint(CKPT, state, mode="weights")
         variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -19,7 +19,9 @@ ENV = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
 pytest.importorskip("torch")
 
 REPO = Path(__file__).resolve().parents[1]
-CKPT = REPO / "evidence" / "superPointNet_wsem_30000"
+# committed compact weights artifact (scripts/make_test_checkpoint.py)
+# — present on a fresh clone, so this group runs in CI (VERDICT r4 #4)
+CKPT = REPO / "evidence" / "wsem_weights.npz"
 CORPUS = REPO / "datasets" / "HPatches"
 
 

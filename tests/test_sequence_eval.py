@@ -10,7 +10,8 @@ from pathlib import Path
 import pytest
 
 REPO = Path(__file__).resolve().parents[1]
-CKPT = REPO / "evidence" / "superPointNet_wsem_30000"
+# committed compact weights artifact (scripts/make_test_checkpoint.py)
+CKPT = REPO / "evidence" / "wsem_weights.npz"
 
 
 def _load_script():
