@@ -328,6 +328,29 @@ def run_ha_export(
 
         sharding = batch_sharding(mesh)
 
+    # Multi-host pods (jax.distributed): every process iterates the
+    # SAME image list (deterministic order), each builds only its local
+    # rows of the group, the global array spans hosts via
+    # make_array_from_process_local_data, and each host writes the npz
+    # for its own rows — no cross-host result gather (SURVEY §2.7; the
+    # production pod export lane, tests/multiproc_ha_worker.py).
+    nproc = jax.process_count()
+    multiproc = sharding is not None and nproc > 1
+    if multiproc:
+        if group % nproc:
+            raise ValueError(f"group {group} must divide over {nproc} processes")
+        # global row indices this process's devices own, ascending —
+        # derived from the sharding, NOT assumed contiguous (the global
+        # device order interleaves processes on some backends, so a
+        # [pid*g_local : ...] block slice scatters wrong rows)
+        idx_map = sharding.addressable_devices_indices_map((group,))
+        blocks = sorted(
+            (sl[0].start or 0,
+             group if sl[0].stop is None else sl[0].stop)
+            for sl in idx_map.values()
+        )
+        my_rows = [r for lo, hi in blocks for r in range(lo, hi)]
+
     def group_iter():
         pending: list = []
         for idx, (name, img) in enumerate(images):
@@ -354,19 +377,68 @@ def run_ha_export(
         # idxs as a HOST array: an eager jnp.asarray is a device op
         # that queues behind in-flight compute groups — on the tunnel
         # that blocked the host ~58 ms/group (measured −6 img/s)
-        keys = _fold_keys(key, np.asarray([i for _, _, i in padded]))
-        # host-side stack, one transfer (a jnp.stack of numpy arrays is
-        # a device_put per element plus a concat dispatch)
-        imgs = np.stack([np.asarray(i) for _, i, _ in padded])
-        if sharding is not None:
-            keys = jax.device_put(keys, sharding)
-            imgs = jax.device_put(imgs, sharding)
+        idxs = np.asarray([i for _, _, i in padded])
+        if multiproc:
+            # local rows only (in ascending global-index order); raw
+            # uint32 key data crosses the process-local→global
+            # boundary (typed key arrays don't)
+            raw = np.asarray(jax.random.key_data(
+                _fold_keys(key, idxs[my_rows])))
+            imgs_l = np.stack([np.asarray(padded[r][1]) for r in my_rows])
+            keys = jax.make_array_from_process_local_data(
+                sharding, raw, (group, *raw.shape[1:]))
+            imgs = jax.make_array_from_process_local_data(
+                sharding, imgs_l, (group, *imgs_l.shape[1:]))
         else:
-            imgs = jax.device_put(imgs)  # async; commits off the hot path
+            keys = _fold_keys(key, idxs)
+            # host-side stack, one transfer (a jnp.stack of numpy
+            # arrays is a device_put per element plus a concat dispatch)
+            imgs = np.stack([np.asarray(i) for _, i, _ in padded])
+            if sharding is not None:
+                keys = jax.device_put(keys, sharding)
+                imgs = jax.device_put(imgs, sharding)
+            else:
+                imgs = jax.device_put(imgs)  # async; commits off the hot path
         return [n for n, _, _ in padded[:n_real]], keys, imgs, n_real
+
+    def _local_rows(arr):
+        """Host copy of the ``my_rows`` global rows of ``arr``, pulled
+        from whichever addressable shard holds each (the *output*
+        sharding is GSPMD's choice — the aggregation/top-k stages can
+        leave results replicated or resharded, so never assume the
+        input's row partitioning survived)."""
+        found = {}
+        n = arr.shape[0]
+        for s in arr.addressable_shards:
+            sl = s.index[0] if s.index else slice(None)
+            lo = sl.start or 0
+            hi = n if sl.stop is None else sl.stop
+            data = None
+            for r in my_rows:
+                if r not in found and lo <= r < hi:
+                    if data is None:
+                        data = np.asarray(s.data)
+                    found[r] = data[r - lo]
+        missing = [r for r in my_rows if r not in found]
+        if missing:
+            raise RuntimeError(
+                f"rows {missing} not addressable from process "
+                f"{jax.process_index()} (output sharding left them on "
+                "remote hosts — constrain the export output sharding)")
+        return [found[r] for r in my_rows]
 
     def write_out(names, pts_b, valid_b):
         nonlocal count
+        if multiproc:
+            # each host writes only its own rows (results never cross
+            # DCN); padded rows carry indices >= len(names)
+            pts_l, valid_l = _local_rows(pts_b), _local_rows(valid_b)
+            for j, gidx in enumerate(my_rows):
+                if gidx >= len(names):
+                    continue
+                _write(out_dir / f"{names[gidx]}.npz", pts_l[j], valid_l[j])
+                count += 1
+            return
         # ONE transfer for the whole group: iterating the device arrays
         # would device_get per image row — 2·G round-trips per group,
         # which on the tunnel link costs more than the group's compute
@@ -387,8 +459,13 @@ def run_ha_export(
 
     def compute(staged):
         names, keys, imgs, n_real = staged
+        if multiproc:
+            keys = jax.random.wrap_key_data(keys)
         pts_b, valid_b = ha_fn(keys, imgs)  # async — no sync here
-        if n_real != group:  # slicing device arrays costs a dispatch
+        if n_real != group and not multiproc:
+            # slicing device arrays costs a dispatch; in multiproc the
+            # padded rows are dropped host-side in write_out instead
+            # (a global-array slice would reshard across hosts)
             pts_b, valid_b = pts_b[:n_real], valid_b[:n_real]
         for a in (pts_b, valid_b):  # start result copy-back early
             getattr(a, "copy_to_host_async", lambda: None)()
