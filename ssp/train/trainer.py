@@ -37,7 +37,11 @@ from ssp.data.pipeline import prepare_batch
 from ssp.models import build_model
 from ssp.parallel import make_mesh, shard_batch
 from ssp.registry import register
-from ssp.train.checkpoint import load_checkpoint, save_checkpoint
+from ssp.train.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
 from ssp.train.state import create_train_state
 from ssp.train.step import make_train_step
 from ssp.utils.experiment import ExperimentPaths, MetricsLogger
@@ -259,7 +263,20 @@ class TrainAgent:
         self._corpus_key = None
 
         pretrained = self.config.get("pretrained")
-        if pretrained and not self.config.get("retrain", False):
+        if not pretrained and self.config.get("auto_resume", True) \
+                and not self.config.get("retrain", False):
+            # relaunching into an experiment that already has
+            # checkpoints continues it (full resume) instead of
+            # silently restarting from scratch — the r5 flagship
+            # relaunch lost 25 min of chip window to exactly that
+            # (config without a `pretrained:` pointer).  Opt out with
+            # `auto_resume: false` or `retrain: true`.
+            prev = latest_checkpoint(self.exper.checkpoints)
+            if prev is not None:
+                log.warning("auto-resuming from %s (auto_resume)", prev)
+                self.state = load_checkpoint(prev, self.state, mode="full")
+                self.n_iter = int(self.state.step) * self.r
+        elif pretrained and not self.config.get("retrain", False):
             mode = "full" if not self.config.get("reset_iter", True) else "weights"
             log.info("loading pretrained %s (mode=%s)", pretrained, mode)
             self.state = load_checkpoint(
@@ -525,11 +542,15 @@ class TrainAgent:
             for k, v in jax.device_get(metrics).items():
                 agg.setdefault(k, []).append(float(v))
         scalars = {k: float(np.mean(v)) for k, v in agg.items()}
-        # val_residual_diagnostic: false disables the soft-argmax
+        # val_residual_diagnostic: true enables the soft-argmax
         # residual probe — it is pure TensorBoard telemetry, and its
         # jitted program has been observed to wedge the axon tunnel
-        # client on some deployments (D2H fetch never completes).
-        run_residual = bool(self.config.get("val_residual_diagnostic", True))
+        # client on some deployments (D2H fetch never completes), so
+        # it is opt-in (default off; cost the r4 flagship ~65 min).
+        # The reference's residual histograms are likewise interval-
+        # gated telemetry that never blocks training
+        # (Train_model_heatmap_all.py:568-571).
+        run_residual = bool(self.config.get("val_residual_diagnostic", False))
         if first_batch is not None and run_residual:
             self._residual_offsets = None
             err = self._residual_diagnostic(first_batch)

@@ -70,6 +70,9 @@ class TestTrainerSmoke:
             "tensorboard_interval": 2,
             "save_interval": 4,
             "validation_size": 0,
+            # the residual diagnostic is opt-in since round 5 (tunnel
+            # wedge, trainer._validate); this smoke explicitly tests it
+            "val_residual_diagnostic": True,
         }
         exper = ExperimentPaths("trainer_smoke", tmp_path)
         agent = TrainAgent(config, save_path=exper)
