@@ -20,11 +20,35 @@ forward-only on one Xeon core (see BASELINE.md).
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Tunnel-health guard (round 5, VERDICT #3): the r4 official capture
+# was taken on a degraded tunnel (tiny-matmul RTT ~1.7 s vs the usual
+# ~0.2 s) and recorded an 8% regression that disappeared on a healthy
+# link.  Refuse to *silently* record numbers from a sick link: probe
+# the dispatch round-trip first, wait-and-retry while degraded, and
+# stamp the measured RTT into the JSON either way.
+RTT_HEALTHY_S = 0.5
+RTT_RETRIES = 5
+RTT_RETRY_WAIT_S = 30.0
+
+
+def probe_tunnel_rtt() -> float:
+    """Median round-trip of a tiny compiled dispatch (seconds)."""
+    x = jnp.ones((128, 128), jnp.float32)
+    f = jax.jit(lambda a: a @ a)
+    f(x).block_until_ready()  # compile outside the probe
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        f(x).block_until_ready()
+        samples.append(time.perf_counter() - t0)
+    return sorted(samples)[1]
 
 # published SuperPoint rate: 70 FPS @ 480x640, Titan X (arXiv:1712.07629)
 REFERENCE_IMG_PER_S = 70.0
@@ -72,6 +96,19 @@ def build_pipeline():
 
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+
+    rtt = probe_tunnel_rtt()
+    for _ in range(RTT_RETRIES):
+        if rtt <= RTT_HEALTHY_S:
+            break
+        print(
+            f"[bench] tunnel degraded (tiny-dispatch RTT {rtt:.2f}s > "
+            f"{RTT_HEALTHY_S}s); waiting {RTT_RETRY_WAIT_S:.0f}s",
+            file=sys.stderr,
+        )
+        time.sleep(RTT_RETRY_WAIT_S)
+        rtt = probe_tunnel_rtt()
+
     fn = build_pipeline()
     images = jnp.asarray(
         np.random.default_rng(0).uniform(size=(BATCH, H, W, 1)).astype(np.float32)
@@ -97,6 +134,8 @@ def main():
                 "value": round(img_per_s, 2),
                 "unit": "images/s",
                 "vs_baseline": round(img_per_s / REFERENCE_IMG_PER_S, 3),
+                "tunnel_rtt_s": round(rtt, 3),
+                "tunnel_degraded": rtt > RTT_HEALTHY_S,
             }
         )
     )

@@ -43,26 +43,43 @@ def stage_ab(B, H2, W2, folded):
 
 
 def full_ab(B, H, W, variables):
+    """Like-for-like full-forward A/B: both arms are built from pieces
+    (identical stem/d2+/head/L2-norm), differing ONLY in the down1
+    stage, so the comparison bypasses _forward's B<=4 batch gate and
+    measures the kernel itself at every batch."""
     x = jnp.asarray(
         np.random.default_rng(1).uniform(size=(B, H, W, 1)).astype(np.float32)
     )
     folded = fi.fold_variables(variables)
-    f_on = jax.jit(lambda im: fi._forward(im, folded, True, False))
-    ms_on = timeit(f_on, x)
+    from ssp.kernels.down1_pallas import down1_pallas_packed
+    (wa, sa, ba), (wb, sb, bb) = folded["d1a"], folded["d1b"]
 
-    # packed stem but XLA down1: bypass the gate by calling pieces
-    def fwd_off(im):
-        t = fi._stem_packed(im, folded, False)
-        t = fi._pool(fi._conv(fi._conv(t, folded["d1a"]), folded["d1b"]))
+    def tail(t):
         t = fi._pool(fi._conv(fi._conv(t, folded["d2a"]), folded["d2b"]))
         feat = fi._conv(fi._conv(t, folded["d3a"]), folded["d3b"])
         semi = fi._conv(fi._conv(feat, folded["pa"]), folded["pb"], relu=False)
         desc = fi._conv(fi._conv(feat, folded["da"]), folded["db"], relu=False)
-        return semi, desc
-    f_off = jax.jit(fwd_off)
-    ms_off = timeit(f_off, x)
+        desc32 = desc.astype(jnp.float32)
+        desc32 = desc32 / (jnp.linalg.norm(desc32, axis=-1, keepdims=True) + 1e-12)
+        return semi, desc32
+
+    def fwd_on(im):
+        t = fi._stem_packed(im, folded, False)
+        t = down1_pallas_packed(t, wa, sa, ba, wb, sb, bb, pool=True,
+                                interpret=False)
+        return tail(t)
+
+    def fwd_off(im):
+        t = fi._stem_packed(im, folded, False)
+        t = fi._pool(fi._conv(fi._conv(t, folded["d1a"]), folded["d1b"]))
+        return tail(t)
+
+    ms_on = timeit(jax.jit(fwd_on), x)
+    ms_off = timeit(jax.jit(fwd_off), x)
     print(f"full fwd [{B},{H},{W}]: down1-pallas {ms_on:.2f} ms ({B/ms_on*1e3:.0f} img/s)  "
           f"down1-xla {ms_off:.2f} ms ({B/ms_off*1e3:.0f} img/s)", flush=True)
+    return {"B": B, "H": H, "W": W, "ms_pallas": round(ms_on, 3),
+            "ms_xla": round(ms_off, 3)}
 
 
 def main():
@@ -74,12 +91,18 @@ def main():
     folded = fi.fold_variables(variables)
     stage_ab(32, 240, 320, folded)   # bench geometry
     stage_ab(4, 192, 624, folded)    # KITTI geometry
-    full_ab(32, 480, 640, variables)
-    full_ab(4, 384, 1248, variables)
-
-
-if __name__ == "__main__":
-    main()
+    rows = [full_ab(32, 480, 640, variables),
+            full_ab(4, 384, 1248, variables)]
+    if "--localize" in sys.argv:
+        localize(32, 480, 640, variables)
+    out = None
+    if "--out" in sys.argv:
+        out = sys.argv[sys.argv.index("--out") + 1]
+    if out:
+        import json
+        with open(out, "w") as f:
+            json.dump({"bench": "down1_full_fwd_ab", "rows": rows}, f, indent=1)
+        print(f"wrote {out}", flush=True)
 
 
 def localize(B, H, W, variables):
@@ -116,5 +139,5 @@ def localize(B, H, W, variables):
         print(f"  {name:16s} {ms:6.2f} ms", flush=True)
 
 
-if __name__ == "__main__" and "--localize" in sys.argv:
-    pass
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--group", type=int, default=2)
     ap.add_argument("--num", type=int, default=20)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--out", default="", help="also write the JSON here "
+                    "(committed perf evidence, VERDICT r5 #6)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
@@ -57,11 +59,16 @@ def main():
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     rate = G * args.reps / dt
-    print(json.dumps({
+    payload = {
         "metric": f"HA export images/sec/chip (num={args.num}, {H}x{W})",
         "value": round(rate, 2), "unit": "images/s",
         "vs_baseline": round(rate / REFERENCE_IMG_PER_S, 3),
-    }))
+        "group": G, "reps": args.reps,
+    }
+    print(json.dumps(payload))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

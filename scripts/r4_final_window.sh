@@ -4,7 +4,10 @@
 set -x
 cd /root/repo
 
-CKPT=$(ls -d logs/pipeline240_wsem_200k_r4/checkpoints/superPointNet_* | sort -t_ -k2 -n | tail -1)
+# sort on the trailing step number (sort -V); a field-based sort keyed
+# on the underscore-ridden run dir degraded to lexicographic order and
+# would pick superPointNet_90000 over _100000 (ADVICE r4, medium)
+CKPT=$(ls -d logs/pipeline240_wsem_200k_r4/checkpoints/superPointNet_* | sort -V | tail -1)
 echo "latest checkpoint: $CKPT"
 
 # 1. headline benches for the record
