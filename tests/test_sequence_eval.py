@@ -33,9 +33,14 @@ def test_known_motion_sequence_consistency():
 
     assert tm["n_frames"] == 5
     assert tm["mean_pts_per_frame"] >= 10
-    # matched features survive frame to frame and span the window
-    assert tm["survival_mean"] > 0.3
+    # bars at ~80% of measured (VERDICT r4 weak #4 asked for tight
+    # bars): the committed flagship weights measure survival 0.83,
+    # inlier3 0.82, reproj median 0.86 px over a 50-frame sequence
+    # (evidence/sequence_consistency_240_r5.json)
+    assert tm["survival_mean"] > 0.6
     assert tm["tracks_full_window"] >= 1
-    # matched coordinates follow the injected motion
-    assert rm["reproj_median_px"] < 3.0
-    assert rm["reproj_inlier3_mean"] > 0.4
+    assert rm["reproj_median_px"] < 1.5
+    assert rm["reproj_inlier3_mean"] > 0.6
+    # the failure decomposition stays majority detector-dropout; a
+    # wrong-association majority would mean descriptor regression
+    assert rm["fail_wrong_assoc_frac"] < 0.6
