@@ -141,12 +141,14 @@ def reprojection_metrics(frames, rel_H, nn_thresh=0.7):
 
 
 def load_pred_tree(pred: Path):
-    files = sorted(pred.rglob("*.npz"))
-    frames = []
-    for f in files:
+    """{sequence_dir: [(pts, desc), ...]} — one entry per leaf
+    directory so tracks never chain across sequence boundaries."""
+    seqs = {}
+    for f in sorted(pred.rglob("*.npz")):
         with np.load(f) as z:
-            frames.append((z["pts"], z["desc"]))
-    return frames
+            seqs.setdefault(str(f.parent.relative_to(pred)), []).append(
+                (z["pts"], z["desc"]))
+    return seqs
 
 
 def make_synthetic_frames(ckpt, n_classes, *, n_frames=8, size=(240, 320),
@@ -243,10 +245,18 @@ def main() -> None:
         metrics["subpixel"] = bool(args.subpixel)
         metrics["ckpt"] = str(args.ckpt)
     elif args.pred:
-        frames = load_pred_tree(Path(args.pred))
-        if not frames:
+        seqs = load_pred_tree(Path(args.pred))
+        if not seqs:
             raise FileNotFoundError(f"no frame npz under {args.pred}")
-        metrics = track_metrics(frames, nn_thresh=args.nn_thresh)
+        per_seq = {name: track_metrics(frames, nn_thresh=args.nn_thresh)
+                   for name, frames in seqs.items()}
+        keys = ("mean_pts_per_frame", "mean_matches_per_pair",
+                "survival_mean", "survival_min")
+        metrics = {k: float(np.mean([m[k] for m in per_seq.values()]))
+                   for k in keys}
+        metrics["n_sequences"] = len(per_seq)
+        metrics["n_frames"] = int(sum(m["n_frames"] for m in per_seq.values()))
+        metrics["per_sequence"] = per_seq
         metrics["mode"] = f"pred:{args.pred}"
     else:
         ap.error("need --pred or --synthetic")

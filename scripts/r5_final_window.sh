@@ -74,6 +74,20 @@ timeout 400 python scripts/eval_sequence.py --synthetic --ckpt "$CKPT" \
     --size 240 320 --n-frames 50 \
     --out evidence/sequence_consistency_240_r5.json 2>&1 | tail -5
 
+# 5b. SLAM-lane sequence export through the real CLI over the
+#     KITTI_synth drives, then track metrics on the prediction tree
+python - <<EOF
+import yaml
+cfg = yaml.safe_load(open("configs/kitti384_sequence_r5.yaml"))
+cfg["pretrained"] = "$CKPT"
+yaml.safe_dump(cfg, open("/tmp/kitti384_sequence_r5.yaml", "w"))
+EOF
+timeout 580 python -m ssp.cli.export export_sequence \
+    /tmp/kitti384_sequence_r5.yaml kitti384_seq_r5 2>&1 | tail -3
+timeout 300 python scripts/eval_sequence.py \
+    --pred logs/kitti384_seq_r5/predictions \
+    --out evidence/sequence_kitti_synth_pred_r5.json 2>&1 | tail -4
+
 # 6. refresh the committed test-weights artifact from the final checkpoint
 python scripts/make_test_checkpoint.py "$CKPT" evidence/wsem_weights.npz \
     --n-classes 133 | tee evidence/wsem_weights.json
