@@ -57,12 +57,17 @@ BATCH = 32  # throughput knee on one v5e chip (16: 930, 32: 938, 64: 924)
 TOP_K = 1000
 
 
-def build_pipeline():
+def build_pipeline(export_grade: bool = False):
+    """``export_grade=True`` measures the exports' default
+    post-processing (exact ``lax.top_k`` + gather descriptor sampling)
+    instead of the fast variants, so the headline number and the
+    shipped export path can be compared on identical terms
+    (``--export-grade``; A/B: scripts/ab_postprocess.py)."""
     from ssp.core.grid import flatten_detection
     from ssp.kernels.nms_pallas import nms_pallas
     from ssp.models import build_model
     from ssp.models.fast_infer import make_fast_apply
-    from ssp.postprocess.points import sample_descriptors_mxu
+    from ssp.postprocess.points import sample_descriptors, sample_descriptors_mxu
 
     model = build_model("SuperPointNet_gauss2", dtype=jnp.bfloat16)
     variables = model.init(
@@ -77,18 +82,25 @@ def build_pipeline():
         heat = flatten_detection(out["semi"])[..., 0]  # [B, H, W]
         # fused Pallas NMS + border removal (one kernel, one HBM pass)
         nmsed = nms_pallas(heat, radius=4, border=4)
-        # top-k (TPU-optimized approximate top-k; recall 0.95 over NMS
-        # survivors is metric-neutral)
-        scores, idx = jax.lax.approx_max_k(
-            nmsed.reshape(nmsed.shape[0], -1), TOP_K, recall_target=0.95
-        )
+        if export_grade:
+            scores, idx = jax.lax.top_k(
+                nmsed.reshape(nmsed.shape[0], -1), TOP_K
+            )
+        else:
+            # TPU-optimized approximate top-k; recall 0.95 over NMS
+            # survivors (neutrality: tests/test_ab_postprocess.py +
+            # the committed A/B table)
+            scores, idx = jax.lax.approx_max_k(
+                nmsed.reshape(nmsed.shape[0], -1), TOP_K, recall_target=0.95
+            )
         pts = jnp.stack(
             [(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32), scores],
             axis=-1,
         )
         # descriptor sampling as an MXU matmul (gathers were the largest
         # single post-processing cost — ssp/postprocess/points.py)
-        desc = jax.vmap(sample_descriptors_mxu)(out["desc"], pts)
+        sampler = sample_descriptors if export_grade else sample_descriptors_mxu
+        desc = jax.vmap(sampler)(out["desc"], pts)
         return pts, desc
 
     return jax.jit(detect_describe)
@@ -109,7 +121,8 @@ def main():
         time.sleep(RTT_RETRY_WAIT_S)
         rtt = probe_tunnel_rtt()
 
-    fn = build_pipeline()
+    export_grade = "--export-grade" in sys.argv
+    fn = build_pipeline(export_grade=export_grade)
     images = jnp.asarray(
         np.random.default_rng(0).uniform(size=(BATCH, H, W, 1)).astype(np.float32)
     )
@@ -136,6 +149,7 @@ def main():
                 "vs_baseline": round(img_per_s / REFERENCE_IMG_PER_S, 3),
                 "tunnel_rtt_s": round(rtt, 3),
                 "tunnel_degraded": rtt > RTT_HEALTHY_S,
+                **({"postprocess": "export_grade"} if export_grade else {}),
             }
         )
     )

@@ -30,6 +30,9 @@ echo "latest checkpoint: $CKPT"
 
 # 1. headline benches for the record (bench.py has its own RTT guard now)
 timeout 420 python bench.py 2>&1 | tail -1 | tee /tmp/r5_bench.json
+cp /tmp/r5_bench.json evidence/bench_r5.json || true
+timeout 420 python bench.py --export-grade 2>&1 | tail -1 | tee /tmp/r5_bench_export_grade.json
+cp /tmp/r5_bench_export_grade.json evidence/bench_r5_export_grade.json || true
 timeout 560 python scripts/bench_ha_kitti.py --out evidence/bench_ha_kitti_r5.json \
     2>&1 | tee /tmp/r5_bench_ha_kitti.txt
 timeout 560 python scripts/bench_down1_ab.py --out evidence/down1_ab_r5.json \
