@@ -91,6 +91,19 @@ class TestTrainerSmoke:
         val_log = (exper.root / "metrics_val.jsonl").read_text()
         assert "val_subpix_residual_err" in val_log
 
+        # relaunching into the same experiment without a `pretrained`
+        # pointer must auto-resume from the newest checkpoint instead
+        # of restarting from step 0 (the r5 flagship relaunch lost 25
+        # min of chip window to exactly that)
+        agent2 = TrainAgent(config, save_path=exper)
+        assert int(agent2.state.step) == int(
+            latest_checkpoint(exper.checkpoints).name.split("_")[-1])
+        # ... and the explicit opt-outs keep the fresh start
+        agent3 = TrainAgent({**config, "retrain": True}, save_path=exper)
+        assert int(agent3.state.step) == 0
+        agent4 = TrainAgent({**config, "auto_resume": False}, save_path=exper)
+        assert int(agent4.state.step) == 0
+
 
 class TestReaders:
     def test_coco_reader(self, tmp_path):
