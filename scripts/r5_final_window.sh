@@ -58,8 +58,9 @@ timeout 580 python scripts/eval_wsem_semantic.py "$CKPT" \
     --sem-labels datasets/COCO240/annotations_coarse \
     --out evidence/wsem_r5_semantic_coarse.txt 2>&1 | tail -4
 
-# 4. stage-4 checkpoint sweep over the fixed 80-pair corpus
-timeout 580 python -m ssp.cli.export_eval configs/pipeline240_sweep_wsem_r4.yaml \
+# 4. stage-4 checkpoint sweep over the fixed 80-pair corpus (the
+#    flagship now has ~21 checkpoints; resume-by-skip makes reruns cheap)
+timeout 1800 python -m ssp.cli.export_eval configs/pipeline240_sweep_wsem_r4.yaml \
     pipeline240_sweep_r5 2>&1 | tail -3
 cp logs/pipeline240_sweep_r5/checkpoints/results.csv evidence/pipeline240_sweep_r5_results.csv 2>/dev/null || true
 cp logs/pipeline240_sweep_r5/checkpoints/results_ref.csv evidence/pipeline240_sweep_r5_results_ref.csv 2>/dev/null || true
