@@ -230,6 +230,10 @@ def main() -> None:
                     help="soft-argmax refinement — compare against the "
                     "default run to isolate NMS integer-grid quantization")
     ap.add_argument("--nn-thresh", type=float, default=0.7)
+    ap.add_argument("--rel-h-root", default="",
+                    help="dataset root holding <drive>/rel_H.json ground"
+                    "-truth motion for --pred trees (make_kitti_tree "
+                    "--motion)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -250,10 +254,29 @@ def main() -> None:
             raise FileNotFoundError(f"no frame npz under {args.pred}")
         per_seq = {name: track_metrics(frames, nn_thresh=args.nn_thresh)
                    for name, frames in seqs.items()}
+        if args.rel_h_root:
+            # motion-coherent tree (make_kitti_tree.py --motion): the
+            # per-drive ground-truth relative homographies enable the
+            # full reprojection/failure decomposition on CLI exports
+            for name, frames in seqs.items():
+                rel_file = (Path(args.rel_h_root) / Path(name).name
+                            / "rel_H.json")
+                if rel_file.is_file():
+                    rel_H = [np.asarray(h) for h in
+                             json.loads(rel_file.read_text())]
+                    per_seq[name].update(
+                        reprojection_metrics(frames, rel_H, args.nn_thresh))
         keys = ("mean_pts_per_frame", "mean_matches_per_pair",
                 "survival_mean", "survival_min")
         metrics = {k: float(np.mean([m[k] for m in per_seq.values()]))
                    for k in keys}
+        rep = [m["reproj_inlier3_mean"] for m in per_seq.values()
+               if "reproj_inlier3_mean" in m]
+        if rep:
+            metrics["reproj_inlier3_mean"] = float(np.mean(rep))
+            metrics["reproj_median_px"] = float(np.mean(
+                [m["reproj_median_px"] for m in per_seq.values()
+                 if "reproj_median_px" in m]))
         metrics["n_sequences"] = len(per_seq)
         metrics["n_frames"] = int(sum(m["n_frames"] for m in per_seq.values()))
         metrics["per_sequence"] = per_seq

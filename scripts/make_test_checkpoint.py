@@ -28,6 +28,11 @@ def main() -> None:
     ap.add_argument("--model", default="SuperPointNet_gauss2_ssmall")
     ap.add_argument("--n-classes", type=int, default=None)
     ap.add_argument("--size", type=int, nargs=2, default=(240, 320))
+    ap.add_argument("--dtype", default="fp32", choices=("fp16", "fp32"),
+                    help="storage dtype; fp32 (~6 MB) keeps the forward "
+                    "bit-exact — the 200k checkpoint's sharper logits "
+                    "flip ~8%% of threshold-marginal keypoints under "
+                    "fp16 rounding, which failed the overlap gate")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +50,10 @@ def main() -> None:
     model = build_model(args.model, dtype=jnp.float32, **kw)
     state = create_train_state(model, jax.random.key(0), (1, *args.size, 1))
     state = load_checkpoint(args.ckpt, state, mode="weights")
-    out = save_weights_npz(args.out, state)
+    import numpy as np_
+
+    dtype = np_.float16 if args.dtype == "fp16" else np_.float32
+    out = save_weights_npz(args.out, state, dtype=dtype)
 
     # round-trip check: forward parity within fp16 weight rounding
     restored = load_weights_npz(out, create_train_state(
@@ -88,8 +96,9 @@ def main() -> None:
         "source": args.ckpt,
         "model": args.model,
         "n_classes": args.n_classes,
-        "semi_rel_err_fp16": rel,
-        "keypoint_overlap_fp16": overlap,
+        "dtype": args.dtype,
+        "semi_rel_err": rel,
+        "keypoint_overlap": overlap,
         "sha256_16": sha,
     }))
     assert overlap >= 0.95, (overlap, rel)
