@@ -53,7 +53,10 @@ def probe_tunnel_rtt() -> float:
 # published SuperPoint rate: 70 FPS @ 480x640, Titan X (arXiv:1712.07629)
 REFERENCE_IMG_PER_S = 70.0
 H, W = 480, 640
-BATCH = 32  # throughput knee on one v5e chip (16: 930, 32: 938, 64: 924)
+BATCH = 16  # knee re-measured with the packed stem (round 5, v5e:
+# 16: 1260, 32: 1222, 64: 1194 img/s; the pre-packed-stem knee was 32
+# — 16: 930, 32: 938, 64: 924).  The packed layout already fills the
+# lanes at B=16, so the larger batch only adds HBM pressure.
 TOP_K = 1000
 
 
